@@ -1,0 +1,315 @@
+"""Label-map generators: the scientific core of the data pipeline.
+
+Host-side numpy rebuilds of the reference ops (tiseg/datasets/ops/
+{bound,unet,direction,distance,hv}_map.py). Every op re-canonicalizes the
+instance map first (remove <5px 4-conn fragments, split disconnected parts,
+renumber) and masks ``sem_gt`` to the fixed instances, exactly like the
+reference's ``_fix_inst``.
+
+These run in dataloader workers; crops can also be pre-generated offline.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+from ...utils import morphology as m
+from ...utils.misc import get_bounding_box
+from ..utils.center import calculate_centerpoint
+from ..utils.direction import angle_to_vector, generate_direction_differential_map, vector_to_label
+from ..utils.gradient import calculate_gradient
+from ..utils.instance import fix_instance
+
+
+class BoundLabelMake:
+    """sem_gt_w_bound: background/foreground(+classes)/boundary(=edge_id).
+
+    Per instance: boundary = diamond-dilation(r0) & ~diamond-erosion(r1)
+    (reference bound_map.py:36-89).
+    """
+
+    def __init__(self, edge_id=2, selem_radius=3):
+        self.edge_id = edge_id
+        if isinstance(selem_radius, int):
+            selem_radius = (selem_radius, selem_radius)
+        self.radius = selem_radius
+
+    def __call__(self, data):
+        sem_gt = data['sem_gt']
+        inst_gt = fix_instance(data['inst_gt'])
+        sem_gt = sem_gt.copy()
+        sem_gt[inst_gt == 0] = 0
+        data['sem_gt'] = sem_gt
+        data['inst_gt'] = inst_gt
+
+        sem_gt_w_bound = sem_gt.copy()
+        assert np.allclose(sem_gt > 0, inst_gt > 0)
+        d0 = m.diamond(self.radius[0])
+        d1 = m.diamond(self.radius[1])
+        for inst_id in np.unique(inst_gt):
+            if inst_id == 0:
+                continue
+            mask = inst_gt == inst_id
+            bound = m.dilation(mask, d0) & (~m.erosion(mask, d1))
+            sem_gt_w_bound[bound] = self.edge_id
+
+        data['sem_gt_w_bound'] = sem_gt_w_bound
+        data['seg_fields'].append('sem_gt_w_bound')
+        return data
+
+
+class UNetLabelMake:
+    """sem_gt_inner (1px-eroded instances) + UNet eq.(2) border weight map
+    ``w0 * exp(-(d1+d2)^2 / 2 sigma^2)`` (reference unet_map.py:7-127)."""
+
+    def __init__(self, wc=None, w0=10.0, sigma=5.0):
+        self.wc = wc
+        self.w0 = w0
+        self.sigma = sigma
+
+    def _remove_1px_boundary(self, inst_gt):
+        new = np.zeros(inst_gt.shape[:2], np.int32)
+        d1 = m.diamond(1)
+        for inst_id in np.unique(inst_gt):
+            if inst_id == 0:
+                continue
+            er = m.erosion((inst_gt == inst_id).astype(np.uint8), d1)
+            new[er > 0] = inst_id
+        return new
+
+    def _get_weight_map(self, ann, inst_list):
+        if len(inst_list) <= 1:
+            return np.zeros(ann.shape[:2])
+        # distance to border of nearest and 2nd-nearest instance, per pixel
+        stacked = np.zeros(ann.shape[:2] + (len(inst_list),))
+        for idx, inst_id in enumerate(inst_list):
+            stacked[..., idx] = m.distance_transform_edt((ann != inst_id).astype(np.uint8))
+        near1 = np.amin(stacked, axis=2)
+        diff = stacked - near1[..., None]
+        diff[diff == 0] = np.inf
+        near2 = np.amin(diff, axis=2)
+        near2[ann > 0] = 0
+        near2 = near2 + near1
+        # where two instances are equidistant, near2 collapses to near1
+        eve = (1.0 + stacked) / (1.0 + near1[..., None])
+        eve[eve != 1] = 0
+        ties = np.sum(eve, axis=2) > 1
+        near2[ties] = near1[ties]
+
+        pix = near1 + near2
+        pen = self.w0 * np.exp(-(pix / self.sigma)**2 / 2)
+        pen[ann > 0] = 0
+        return pen
+
+    def __call__(self, data):
+        inst_gt = fix_instance(data['inst_gt'])
+        sem_gt = data['sem_gt'].copy()
+        sem_gt[inst_gt == 0] = 0
+        data['sem_gt'] = sem_gt
+        data['inst_gt'] = inst_gt
+
+        inner = self._remove_1px_boundary(inst_gt)
+        sem_gt_inner = sem_gt.copy()
+        sem_gt_inner[inner == 0] = 0
+
+        inst_ids = np.unique(inner)
+        inst_ids = list(inst_ids[inst_ids > 0])
+        wmap = self._get_weight_map(inner, inst_ids)
+        if self.wc is None:
+            wmap += 1
+        else:
+            cw = np.zeros(inner.shape[:2])
+            for class_id, class_w in self.wc.items():
+                cw[inner == class_id] = class_w
+            wmap += cw
+
+        data['loss_weight_map'] = wmap
+        data['sem_gt_inner'] = sem_gt_inner
+        data['seg_fields'].append('sem_gt_inner')
+        return data
+
+
+class DirectionLabelMake:
+    """point_gt (gaussian center heatmap), dist_gt (sqrt-scaled distance to
+    center), dir_gt (quantized angle classes of the distance gradient),
+    reg_dir_gt (radians), loss_weight_map (DDM-of-GT based).
+    (reference direction_map.py:11-193)
+    """
+
+    def __init__(self, to_center=True, num_angles=8):
+        self.to_center = to_center
+        self.num_angles = num_angles
+
+    def __call__(self, data):
+        sem_gt = data['sem_gt'].copy()
+        inst_gt = fix_instance(data['inst_gt'])
+        sem_gt[inst_gt == 0] = 0
+        data['sem_gt'] = sem_gt
+        data['inst_gt'] = inst_gt
+
+        point_map, gradient_map, dist_map = self.calculate_point_map(inst_gt, to_center=self.to_center)
+        dir_map = self.calculate_dir_map(inst_gt, gradient_map, self.num_angles)
+        reg_dir_map = self.calculate_regression_dir_map(inst_gt, gradient_map)
+        if self.num_angles == 8:
+            weight_map = self.calculate_weight_map(dir_map, dist_map, self.num_angles)
+        else:
+            weight_map = np.zeros_like(dir_map, dtype=np.float32)
+
+        data['dist_gt'] = dist_map
+        data['point_gt'] = point_map
+        data['dir_gt'] = dir_map
+        data['reg_dir_gt'] = reg_dir_map
+        data['loss_weight_map'] = weight_map
+        return data
+
+    @staticmethod
+    def calculate_weight_map(dir_map, dist_map, num_angle_types):
+        dd = generate_direction_differential_map(dir_map, num_angle_types + 1)[0]
+        weight = dd * (10 - dist_map)
+        weight = m.dilation(weight, m.disk(1))
+        return weight.astype(np.float32) * 2 + 1.0
+
+    @staticmethod
+    def calculate_dir_map(instance_map, gradient_map, num_angle_types):
+        angle = np.degrees(np.arctan2(gradient_map[..., 0], gradient_map[..., 1]))
+        angle[instance_map == 0] = 0
+        vec = angle_to_vector(angle, num_angle_types)
+        dir_map = vector_to_label(vec, num_angle_types)
+        dir_map[instance_map == 0] = -1
+        return dir_map + 1
+
+    @staticmethod
+    def calculate_regression_dir_map(instance_map, gradient_map):
+        angle = np.degrees(np.arctan2(gradient_map[..., 0], gradient_map[..., 1]))
+        angle[angle < 0] += 360
+        angle[instance_map == 0] = 0
+        return angle / 180 * np.pi
+
+    @classmethod
+    def calculate_point_map(cls, instance_map, to_center=True):
+        H, W = instance_map.shape[:2]
+        dist_map = np.zeros((H, W), dtype=np.float32)
+        gradient_map = np.zeros((H, W, 2), dtype=np.float32)
+        point_map = np.zeros((H, W), dtype=np.float32)
+
+        markers = [k for k in np.unique(instance_map) if k != 0]
+        for k in markers:
+            single = (instance_map == k).astype(np.uint8)
+            center = calculate_centerpoint(single, H, W)
+            assert single[center[0], center[1]] > 0
+            point_map[center[0], center[1]] = 1
+            if to_center:
+                d = cls._distance_to_center(single, center)
+            else:
+                d = cls._distance_to_centralridge(single)
+            dist_map += d
+            g = calculate_gradient(d, ksize=11)
+            g[single == 0, :] = 0
+            gradient_map[single != 0, :] = 0
+            gradient_map += g
+        assert int(point_map.sum()) == len(markers)
+
+        point_map_gaussian = gaussian_filter(point_map * 255, sigma=2, order=0).astype(np.float32)
+        dist_map = (dist_map**0.5) * 10
+        return point_map_gaussian, gradient_map, dist_map
+
+    @staticmethod
+    def _distance_to_center(single, center):
+        H, W = single.shape[:2]
+        point = np.zeros((H, W), dtype=np.uint8)
+        point[center[0], center[1]] = 1
+        d = m.distance_transform_edt(1 - point) * single
+        return (1 - d / (d.max() + 1e-7)) * single
+
+    @staticmethod
+    def _distance_to_centralridge(single):
+        d = m.distance_transform_edt(single) * single
+        return (d / (d.max() + 1e-7)) * single
+
+
+class DistanceLabelMake:
+    """Per-instance chessboard distance map, instance-normalized to (0, 1]
+    (reference distance_map.py:23-107)."""
+
+    def __init__(self, inst_norm=True):
+        self.inst_norm = inst_norm
+
+    def __call__(self, data):
+        sem_gt = data['sem_gt'].copy()
+        inst_gt = fix_instance(data['inst_gt'])
+        sem_gt[inst_gt == 0] = 0
+        data['sem_gt'] = sem_gt
+        data['inst_gt'] = inst_gt
+
+        dist_gt = np.zeros(inst_gt.shape, dtype=np.float32)
+        h, w = inst_gt.shape[:2]
+        for inst_id in np.unique(inst_gt):
+            if inst_id == 0:
+                continue
+            inst_map = (inst_gt == inst_id).astype(np.uint8)
+            box = get_bounding_box(inst_map)
+            box = [max(box[0] - 2, 0), min(box[1] + 2, h), max(box[2] - 2, 0), min(box[3] + 2, w)]
+            crop = inst_map[box[0]:box[1], box[2]:box[3]]
+            if crop.shape[0] < 2 or crop.shape[1] < 2:
+                continue
+            d = m.distance_transform_cdt(crop).astype(np.float32)
+            if self.inst_norm:
+                mx = np.amax(d)
+                if mx <= 0:
+                    continue
+                d = d / mx
+            view = dist_gt[box[0]:box[1], box[2]:box[3]]
+            view[crop > 0] = d[crop > 0]
+
+        data['dist_gt'] = dist_gt
+        data['seg_fields'].append('dist_gt')
+        return data
+
+
+class HVLabelMake:
+    """Horizontal/vertical per-instance coordinate maps normalized to
+    [-1, 1], centered at the instance center of mass (reference
+    hv_map.py:18-114). Output is channels-last (H, W, 2) — NHWC is the
+    TPU-native layout (the reference emits (2, H, W))."""
+
+    def __call__(self, data):
+        inst_gt = data['inst_gt']
+        x_map = np.zeros(inst_gt.shape[:2], dtype=np.float32)
+        y_map = np.zeros(inst_gt.shape[:2], dtype=np.float32)
+        h, w = inst_gt.shape[:2]
+
+        for inst_id in np.unique(inst_gt):
+            if inst_id == 0:
+                continue
+            inst_map = (inst_gt == inst_id).astype(np.uint8)
+            box = get_bounding_box(inst_map)
+            box = [max(box[0] - 2, 0), min(box[1] + 2, h), max(box[2] - 2, 0), min(box[3] + 2, w)]
+            crop = inst_map[box[0]:box[1], box[2]:box[3]]
+            if crop.shape[0] < 2 or crop.shape[1] < 2:
+                continue
+            com = list(m.center_of_mass(crop))
+            com[0] = int(com[0] + 0.5)
+            com[1] = int(com[1] + 0.5)
+            rx = np.arange(1, crop.shape[1] + 1) - com[1]
+            ry = np.arange(1, crop.shape[0] + 1) - com[0]
+            ix, iy = np.meshgrid(rx, ry)
+            ix[crop == 0] = 0
+            iy[crop == 0] = 0
+            ix = ix.astype(np.float32)
+            iy = iy.astype(np.float32)
+            if np.min(ix) < 0:
+                ix[ix < 0] /= -np.amin(ix[ix < 0])
+            if np.min(iy) < 0:
+                iy[iy < 0] /= -np.amin(iy[iy < 0])
+            if np.max(ix) > 0:
+                ix[ix > 0] /= np.amax(ix[ix > 0])
+            if np.max(iy) > 0:
+                iy[iy > 0] /= np.amax(iy[iy > 0])
+            xv = x_map[box[0]:box[1], box[2]:box[3]]
+            xv[crop > 0] = ix[crop > 0]
+            yv = y_map[box[0]:box[1], box[2]:box[3]]
+            yv[crop > 0] = iy[crop > 0]
+
+        data['hv_gt'] = np.stack([x_map, y_map], axis=-1)
+        data['seg_fields'].append('hv_gt')
+        return data
