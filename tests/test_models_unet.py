@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiseg_tpu.models import build_segmentor
+from tiseg_tpu.models.segmentors.unet import instance_postprocess
+
+
+@pytest.fixture(scope='module')
+def unet():
+    seg = build_segmentor(dict(type='UNet', num_classes=3, train_cfg=dict(),
+                               test_cfg=dict(mode='whole', radius=1)))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    return seg, variables
+
+
+def test_unet_forward_shapes(unet):
+    seg, variables = unet
+    img = jnp.zeros((2, 64, 64, 3))
+    heads = seg.forward_heads(variables, img)
+    assert heads['sem'].shape == (2, 64, 64, 3)
+
+
+def test_unet_loss_and_grads(unet):
+    seg, variables = unet
+    batch = {
+        'data': {'img': jnp.ones((2, 64, 64, 3)) * 0.5},
+        'label': {
+            'sem_gt_inner': jnp.zeros((2, 64, 64), jnp.int32).at[:, 20:30, 20:30].set(1),
+            'loss_weight_map': jnp.ones((2, 64, 64)),
+        },
+    }
+
+    def loss_fn(params):
+        total, (logs, new_state) = seg.loss({'params': params, 'batch_stats': variables['batch_stats']}, batch)
+        return total, logs
+
+    (total, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables['params'])
+    assert np.isfinite(float(total))
+    assert 'sem_ce_loss' in logs and 'loss' in logs and 'sem_tdice' in logs
+    gnorm = jax.tree_util.tree_reduce(lambda a, x: a + jnp.sum(jnp.abs(x)), grads, 0.0)
+    assert float(gnorm) > 0
+
+
+def test_unet_whole_inference_and_postprocess(unet):
+    seg, variables = unet
+    img = jnp.ones((1, 64, 64, 3)) * 0.5
+    fused = jax.jit(seg.inference)(variables, img)
+    assert fused['sem'].shape == (1, 64, 64, 3)
+    s = np.asarray(fused['sem'][0].sum(-1))
+    np.testing.assert_allclose(s, 1.0, rtol=1e-4)
+    res = seg.postprocess({k: np.asarray(v[0]) for k, v in fused.items()})
+    assert res['sem_pred'].shape == (64, 64)
+    assert res['inst_pred'].dtype == np.int32
+
+
+def test_instance_postprocess_synthetic():
+    sem = np.zeros((48, 48), dtype=np.uint8)
+    sem[5:15, 5:15] = 1
+    sem[8:11, 8:11] = 0   # hole -> filled
+    sem[30:40, 30:40] = 1
+    sem[20, 20] = 1       # tiny -> removed
+    out_sem, inst = instance_postprocess(sem, radius=1)
+    ids = set(np.unique(inst)) - {0}
+    assert len(ids) == 2
+    assert inst[9, 9] > 0  # hole filled
+    assert inst[20, 20] == 0
+
+
+def test_split_inference_matches_whole(unet):
+    """Sliding-window on a smaller window must agree with whole-image forward
+    away from patch borders when the net is (nearly) shift-invariant; here we
+    just verify geometry: identity network stitches exactly."""
+    from tiseg_tpu.ops import split_inference
+
+    def identity(x):
+        return {'sem': x}
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 100, 90, 3)).astype(np.float32))
+    out = split_inference(identity, img, window=32, overlap=8, chunk=4)
+    np.testing.assert_allclose(np.asarray(out['sem']), np.asarray(img), atol=1e-6)
+
+
+def test_tta_roundtrip():
+    from tiseg_tpu.ops import reverse_tta_transform, tta_transform
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 16, 16, 4)).astype(np.float32))
+    for rot in (0, 90, 180, 270):
+        for flip in ('none', 'horizontal', 'vertical', 'diagonal'):
+            y = reverse_tta_transform(tta_transform(x, rot, flip), rot, flip)
+            np.testing.assert_array_equal(np.asarray(y), np.asarray(x))

@@ -1,0 +1,85 @@
+"""UNet segmentor (reference: tiseg/models/segmentors/unet.py:16-124).
+
+VGG16-BN encoder + UNet decoder; trained on the 1px-eroded semantic target
+(``sem_gt_inner``) with the UNet border weight map; instances recovered at
+eval by per-class fill-holes -> remove-small -> CCL -> disk dilation.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...utils import morphology as m
+from ..backbones.vgg import VGG16BN
+from ..builder import SEGMENTORS
+from ..heads.unet_head import UNetHead
+from ..losses import batch_multiclass_dice_loss, cross_entropy
+from .base import BaseSegmentor, parse_losses
+
+
+class UNetNet(nn.Module):
+    num_classes: int
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = VGG16BN(dtype=self.dtype, axis_name=self.axis_name, name='backbone')(x, train)
+        sem = UNetHead(num_classes=self.num_classes, dtype=self.dtype, axis_name=self.axis_name,
+                       name='head')(feats[-1], feats[:-1], train)
+        return {'sem': sem}
+
+
+def instance_postprocess(sem_pred: np.ndarray, radius: int = 1, min_size: int = 5):
+    """Model-free instance extraction (reference unet.py:71-93): per semantic
+    class: fill holes, drop objects <min_size, 8-conn CCL, disk dilation;
+    later classes overwrite earlier ones."""
+    inst_pred = np.zeros_like(sem_pred, dtype=np.int32)
+    out_sem = np.zeros_like(sem_pred, dtype=np.uint8)
+    cur = 0
+    for sem_id in np.unique(sem_pred):
+        if sem_id == 0:
+            continue
+        mask = sem_pred == sem_id
+        mask = m.binary_fill_holes(mask)
+        mask = m.remove_small_objects(mask, min_size)
+        inst = m.label(mask)
+        inst = m.dilation(inst, m.disk(radius))
+        inst[inst > 0] += cur
+        inst_pred[inst > 0] = 0
+        inst_pred += inst
+        cur += len(np.unique(inst))
+        out_sem[inst > 0] = sem_id
+    return out_sem, inst_pred
+
+
+@SEGMENTORS.register_module()
+class UNet(BaseSegmentor):
+
+    def __init__(self, num_classes, train_cfg=None, test_cfg=None, dtype=jnp.float32, axis_name=None):
+        super().__init__(num_classes, train_cfg, test_cfg)
+        self.net = UNetNet(num_classes=num_classes, dtype=dtype, axis_name=axis_name)
+
+    def loss(self, variables, batch, train: bool = True):
+        heads, new_state = self.forward_heads(variables, batch['data']['img'], train=True, mutable=True)
+        sem_logit = heads['sem']
+        sem_gt = batch['label']['sem_gt_inner']
+        weight_map = batch['label']['loss_weight_map']
+
+        losses = {}
+        ce = cross_entropy(sem_logit, sem_gt, weight=weight_map)
+        dice = batch_multiclass_dice_loss(sem_logit, sem_gt, self.num_classes)
+        losses['sem_ce_loss'] = 5.0 * ce
+        losses['sem_dice_loss'] = 0.5 * dice
+        losses.update(self.training_metrics(sem_logit, sem_gt))
+        total, log_vars = parse_losses(losses)
+        return total, (log_vars, new_state)
+
+    def postprocess(self, fused):
+        sem_pred = np.argmax(np.asarray(fused['sem']), axis=-1).astype(np.uint8)
+        radius = self.test_cfg.get('radius', 1)
+        sem, inst = instance_postprocess(sem_pred, radius=radius)
+        return {'sem_pred': sem, 'inst_pred': inst}
