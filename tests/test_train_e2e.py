@@ -1,0 +1,73 @@
+"""End-to-end mini-train smoke test on the 8-virtual-device CPU mesh: the
+TPU-native answer to 'distributed testing without a cluster' (SURVEY.md §4)."""
+import os.path as osp
+
+import jax
+import numpy as np
+import pytest
+
+from tiseg_tpu.apis import single_device_test, train_segmentor
+from tiseg_tpu.datasets import build_dataset
+from tiseg_tpu.models import build_segmentor
+from tiseg_tpu.utils import Config
+
+from test_datasets import make_mini_dataset
+
+TRAIN_PROCESSES = [
+    dict(type='RandomFlip', prob=0.5, direction=['horizontal']),
+    dict(type='Normalize'),
+    dict(type='UNetLabelMake'),
+    dict(type='Formatting', data_keys=['img'], label_keys=['sem_gt', 'sem_gt_inner', 'loss_weight_map']),
+]
+TEST_PROCESSES = [
+    dict(type='Normalize'),
+    dict(type='Formatting', data_keys=['img'], label_keys=[]),
+]
+
+
+@pytest.mark.slow
+def test_train_eval_e2e(tmp_path):
+    assert jax.device_count() == 8
+    root = str(tmp_path / 'ds')
+    make_mini_dataset(root, n=8, hw=64)
+
+    cfg = Config.fromdict(
+        dict(
+            data=dict(
+                samples_per_gpu=8,
+                workers_per_gpu=2,
+                train=dict(type='MoNuSegDataset', data_root=root, img_dir='images', ann_dir='annotations',
+                           split='train.txt', processes=TRAIN_PROCESSES),
+                val=dict(type='MoNuSegDataset', data_root=root, img_dir='images', ann_dir='annotations',
+                         split='train.txt', processes=TEST_PROCESSES),
+            ),
+            optimizer=dict(type='Adam', lr=1e-3, weight_decay=5e-4),
+            optimizer_config=dict(),
+            lr_config=dict(policy='step', by_epoch=True, step=[100], gamma=0.1, warmup='linear', warmup_iters=2,
+                           warmup_ratio=1e-2),
+            runner=dict(type='EpochBasedRunner', max_epochs=2),
+            evaluation=dict(interval=2, save_best='Aji', rule='greater'),
+            checkpoint_config=dict(by_epoch=True, interval=2, max_keep_ckpts=2),
+            log_config=dict(interval=1),
+        ))
+
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(),
+                               test_cfg=dict(mode='whole', radius=1)))
+    train_ds = build_dataset(cfg.data['train'])
+    state = train_segmentor(seg, train_ds, cfg, work_dir=str(tmp_path / 'work'), seed=0)
+
+    assert int(state.step) == 2  # 8 imgs / bs 8 = 1 iter/epoch * 2 epochs
+    # checkpoints written
+    assert osp.isdir(str(tmp_path / 'work' / 'checkpoints'))
+
+    # eval path end-to-end
+    val_ds = build_dataset(cfg.data['val'], default_args=dict(test_mode=True))
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    results = single_device_test(seg, variables, val_ds, progress=False)
+    eval_results, _ = val_ds.evaluate(results)
+    assert np.isfinite(eval_results['mDice'])
+    # log.jsonl written with train + val records
+    from tiseg_tpu.utils import JsonlLogger
+    records = JsonlLogger(str(tmp_path / 'work' / 'log.jsonl')).read()
+    assert any(r['mode'] == 'train' for r in records)
+    assert any(r['mode'] == 'val' for r in records)
