@@ -20,7 +20,6 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-from ..apis.test import gather_object_shards, multi_process_test
 from ..parallel.mesh import shard_batch
 from ..utils import JsonlLogger, get_logger
 from .checkpoint import CheckpointManager
@@ -128,6 +127,8 @@ class EpochBasedRunner:
                 buf.clear()
 
     def evaluate(self, epoch: int):
+        # imported here: apis also imports the engine (runner construction)
+        from ..apis.test import gather_object_shards, multi_process_test
         variables = {'params': self.state.params, 'batch_stats': self.state.batch_stats}
         shard = multi_process_test(self.segmentor, variables, self.val_dataset)
         results = gather_object_shards(shard)
