@@ -38,10 +38,14 @@ class TrainState(struct.PyTreeNode):
 def make_train_step(segmentor, mesh: Optional[Mesh] = None, donate: bool = True) -> Callable:
     """Build the jitted train step. ``segmentor.loss`` must be pure."""
 
+    base_key = jax.random.PRNGKey(0)
+
     def train_step(state: TrainState, batch: Dict):
+        rng = jax.random.fold_in(base_key, state.step)
+
         def loss_fn(params):
             variables = {'params': params, 'batch_stats': state.batch_stats}
-            total, (logs, new_model_state) = segmentor.loss(variables, batch, train=True)
+            total, (logs, new_model_state) = segmentor.loss(variables, batch, train=True, rng=rng)
             return total, (logs, new_model_state)
 
         grads, (logs, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)

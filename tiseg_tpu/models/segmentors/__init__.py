@@ -1,4 +1,11 @@
 from .base import BaseSegmentor, parse_losses
 from .unet import UNet, instance_postprocess
+from .cunet import CUNet
+from .dcan import DCAN
+from .fullnet import FullNet
+from .dist import DIST
+from .hovernet import HoverNet
 
-__all__ = ['BaseSegmentor', 'parse_losses', 'UNet', 'instance_postprocess']
+__all__ = [
+    'BaseSegmentor', 'parse_losses', 'UNet', 'instance_postprocess', 'CUNet', 'DCAN', 'FullNet', 'DIST', 'HoverNet'
+]

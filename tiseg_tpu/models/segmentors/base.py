@@ -59,10 +59,12 @@ class BaseSegmentor:
         return variables
 
     # -- forward ------------------------------------------------------------
-    def forward_heads(self, variables, img, train: bool = False, rngs=None, mutable=False):
+    def forward_heads(self, variables, img, train: bool = False, rng=None, mutable=False):
         """Apply the net. When training with mutable=True returns
         (heads, new_model_state)."""
         if train:
+            import jax
+            rngs = {'dropout': rng} if rng is not None else {'dropout': jax.random.PRNGKey(0)}
             out, new_state = self.net.apply(variables, img, train=True, rngs=rngs, mutable=['batch_stats'])
             if mutable:
                 return out, new_state
@@ -74,7 +76,7 @@ class BaseSegmentor:
         return self.forward_heads(variables, img)['sem']
 
     # -- losses (abstract) ----------------------------------------------------
-    def loss(self, variables, batch, train: bool = True):
+    def loss(self, variables, batch, train: bool = True, rng=None):
         raise NotImplementedError
 
     # -- TTA head fusion hooks ------------------------------------------------

@@ -63,8 +63,8 @@ class UNet(BaseSegmentor):
         super().__init__(num_classes, train_cfg, test_cfg)
         self.net = UNetNet(num_classes=num_classes, dtype=dtype, axis_name=axis_name)
 
-    def loss(self, variables, batch, train: bool = True):
-        heads, new_state = self.forward_heads(variables, batch['data']['img'], train=True, mutable=True)
+    def loss(self, variables, batch, train: bool = True, rng=None):
+        heads, new_state = self.forward_heads(variables, batch['data']['img'], train=True, rng=rng, mutable=True)
         sem_logit = heads['sem']
         sem_gt = batch['label']['sem_gt_inner']
         weight_map = batch['label']['loss_weight_map']
