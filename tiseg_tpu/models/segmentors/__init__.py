@@ -5,7 +5,10 @@ from .dcan import DCAN
 from .fullnet import FullNet
 from .dist import DIST
 from .hovernet import HoverNet
+from .micronet import MicroNet, CMicroNet
+from .cdnet import CDNet
 
 __all__ = [
-    'BaseSegmentor', 'parse_losses', 'UNet', 'instance_postprocess', 'CUNet', 'DCAN', 'FullNet', 'DIST', 'HoverNet'
+    'BaseSegmentor', 'parse_losses', 'UNet', 'instance_postprocess', 'CUNet', 'DCAN', 'FullNet', 'DIST', 'HoverNet',
+    'MicroNet', 'CMicroNet', 'CDNet'
 ]

@@ -1,0 +1,145 @@
+"""CDNet: direction-guided nuclei segmentor (reference: tiseg/models/
+segmentors/cdnet.py:18-367).
+
+VGG16-BN + CDHead (UNet decoder ending in DGM). Training supervises the
+boundary-aware semantic map, the 9-way direction map and the center-point
+heatmap. Eval fuses TTA views, derives a direction differential map (DDM)
+per view, and uses the mean DDM (minus high-confidence center regions) to
+enhance the boundary-class logit before the per-class CCL post-processing.
+The whole TTA+DDM pipeline is one jit program.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.ddm import generate_direction_differential_map
+from ...ops.sliding import resize_bilinear, reverse_tta_transform, split_inference, tta_transform, tta_views
+from ..backbones.vgg import VGG16BN
+from ..builder import SEGMENTORS
+from ..heads.cd_head import CDHead
+from ..losses import batch_multiclass_dice_loss, cross_entropy, mdice, mse_loss, tdice
+from .base import BaseSegmentor, parse_losses
+from .unet import instance_postprocess
+
+
+class CDNetNet(nn.Module):
+    num_classes: int
+    num_angles: int = 8
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = VGG16BN(dtype=self.dtype, axis_name=self.axis_name, name='backbone')(x, train)
+        mask, dir_, point = CDHead(num_classes=self.num_classes + 1, num_angles=self.num_angles,
+                                   dtype=self.dtype, axis_name=self.axis_name,
+                                   name='head')(feats[-1], feats[:-1], train)
+        return {'sem': mask, 'dir': dir_, 'point': point}
+
+
+@SEGMENTORS.register_module()
+class CDNet(BaseSegmentor):
+
+    def __init__(self, num_classes, train_cfg=None, test_cfg=None, num_angles: int = 8, dtype=jnp.float32,
+                 axis_name=None):
+        super().__init__(num_classes, train_cfg, test_cfg)
+        self.num_angles = num_angles
+        self.net = CDNetNet(num_classes=num_classes, num_angles=num_angles, dtype=dtype, axis_name=axis_name)
+
+    def loss(self, variables, batch, train: bool = True, rng=None):
+        heads, new_state = self.forward_heads(variables, batch['data']['img'], train=True, rng=rng, mutable=True)
+        sem_logit, dir_logit, point_logit = heads['sem'], heads['dir'], heads['point']
+        sem_gt_wb = batch['label']['sem_gt_w_bound']
+        dir_gt = batch['label']['dir_gt']
+        point_gt = batch['label']['point_gt']
+        if point_gt.ndim == point_logit.ndim - 1:
+            point_gt = point_gt[..., None]
+        weight_map = batch['label'].get('loss_weight_map') if self.train_cfg.get('if_weighted_loss', False) else None
+
+        losses = {
+            'sem_ce_loss': cross_entropy(sem_logit, sem_gt_wb, weight=weight_map),
+            'sem_dice_loss': batch_multiclass_dice_loss(sem_logit, sem_gt_wb, self.num_classes + 1),
+            'dir_ce_loss': cross_entropy(dir_logit, dir_gt, weight=weight_map),
+            'dir_dice_loss': batch_multiclass_dice_loss(dir_logit, dir_gt, self.num_angles + 1),
+            'point_mse_loss': mse_loss(point_logit, point_gt),
+        }
+        losses.update({
+            'sem_tdice': tdice(sem_logit, sem_gt_wb, self.num_classes),
+            'sem_mdice': mdice(sem_logit, sem_gt_wb, self.num_classes),
+            'dir_tdice': tdice(dir_logit, dir_gt, self.num_angles + 1),
+            'dir_mdice': mdice(dir_logit, dir_gt, self.num_angles + 1),
+        })
+        total, log_vars = parse_losses(losses)
+        return total, (log_vars, new_state)
+
+    # ------------------------------------------------------------------
+    def inference(self, variables, img, ori_hw=None):
+        """TTA + per-view DDM + boundary enhancement (reference
+        cdnet.py:154-219). Returns {'sem', 'dir_map'}."""
+        mode = self.test_cfg.get('mode', 'whole')
+        views = tta_views(self.test_cfg)
+
+        def calc(patch):
+            return self.forward_heads(variables, patch, train=False)
+
+        sem_sum = point_sum = None
+        dir_probs = []
+        for rot, flip in views:
+            v = tta_transform(img, rot, flip)
+            if mode == 'split':
+                ws = self.test_cfg['crop_size'][0]
+                os_ = self.test_cfg['overlap_size'][0]
+                out = split_inference(calc, v, ws, os_, chunk=self.test_cfg.get('patch_batch', 8))
+            else:
+                out = calc(v)
+            out = {k: reverse_tta_transform(o, rot, flip) for k, o in out.items()}
+            sem = jax.nn.softmax(out['sem'], axis=-1)
+            dir_ = jax.nn.softmax(out['dir'], axis=-1)
+            sem_sum = sem if sem_sum is None else sem_sum + sem
+            point_sum = out['point'] if point_sum is None else point_sum + out['point']
+            dir_probs.append(dir_)
+
+        n = len(views)
+        sem_logit = sem_sum / n
+        point_logit = point_sum / n
+        if ori_hw is not None:
+            sem_logit = resize_bilinear(sem_logit, ori_hw)
+            point_logit = resize_bilinear(point_logit, ori_hw)
+
+        dd_sum = None
+        dir_map0 = None
+        for i, dp in enumerate(dir_probs):
+            if ori_hw is not None:
+                dp = resize_bilinear(dp, ori_hw)
+            # gate the background direction prob by the fused sem background
+            dp = dp.at[..., 0].set(dp[..., 0] * sem_logit[..., 0])
+            dir_map = jnp.argmax(dp, axis=-1)
+            if i == 0:
+                dir_map0 = dir_map
+            dd = generate_direction_differential_map(dir_map, self.num_angles + 1)
+            dd_sum = dd if dd_sum is None else dd_sum + dd
+        dd_map = dd_sum / n
+
+        if self.test_cfg.get('if_ddm', False):
+            sem_logit = self._ddm_enhancement(sem_logit, dd_map, point_logit)
+
+        return {'sem': sem_logit, 'dir_map': dir_map0}
+
+    @staticmethod
+    def _ddm_enhancement(sem_logit, dd_map, point_logit):
+        point = point_logit[..., 0]
+        point_mask = (point / jnp.max(point)) > 0.2
+        dd_map = dd_map - dd_map * point_mask
+        boundary = (sem_logit[..., -1] + dd_map) * (1 + dd_map)
+        return sem_logit.at[..., -1].set(boundary)
+
+    def postprocess(self, fused):
+        pred = np.argmax(np.asarray(fused['sem']), axis=-1).astype(np.uint8)
+        pred[pred == self.num_classes] = 0
+        sem, inst = instance_postprocess(pred, radius=self.test_cfg.get('radius', 3))
+        return {'sem_pred': sem, 'inst_pred': inst}
