@@ -24,6 +24,28 @@ def label_to_vector(dir_map: jnp.ndarray, num_classes: int = 9) -> jnp.ndarray:
     return mapping[jnp.clip(dir_map, 0, len(LABEL_TO_VECTOR[num_classes]) - 1)]
 
 
+def angle_to_dir_class(angle_deg: jnp.ndarray, num_classes: int = 8) -> jnp.ndarray:
+    """Quantize degrees in (-180, 180] to sector indices (jnp twin of the
+    host align_angle, tiseg_tpu.datasets.utils.direction)."""
+    step = 360.0 / num_classes
+    shifted = angle_deg + 180.0 - step / 2
+    idx = jnp.ceil(shifted / step).astype(jnp.int32) % num_classes
+    return idx
+
+
+def regression_to_dir_map(reg_dir: jnp.ndarray, background: jnp.ndarray, num_angles: int = 8) -> jnp.ndarray:
+    """Radians-regression direction -> 1..num_angles class map, 0 on
+    background (reference multi_task_cdnet.py:304-317 eval path)."""
+    ang = jnp.clip(reg_dir, 0.0, 2 * jnp.pi) * 180.0 / jnp.pi
+    ang = jnp.where(ang > 180.0, ang - 360.0, ang)
+    ang = jnp.where(background, 0.0, ang)
+    # snap to sector center, then relabel via atan2 of the unit vector —
+    # equivalent to align_angle twice, which is idempotent on sector centers
+    idx = angle_to_dir_class(ang, num_angles)
+    idx = jnp.where(background, -1, idx)
+    return idx + 1
+
+
 def generate_direction_differential_map(dir_map: jnp.ndarray, direction_classes: int = 9) -> jnp.ndarray:
     """(N, H, W) int -> (N, H, W) float DDM in [0, 1]."""
     vec = label_to_vector(dir_map, direction_classes)      # (N, H, W, 2)
