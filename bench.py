@@ -32,9 +32,19 @@ def main():
     B = int(os.environ.get('BENCH_BATCH', 32))
     ITERS = int(os.environ.get('BENCH_ITERS', 16))
 
+    include_postproc = os.environ.get('BENCH_POSTPROC', '1') == '1'
+
     def forward(variables, img):
         logits = seg.forward_heads(variables, img)['sem']
-        return jnp.argmax(logits, axis=-1).astype(jnp.float32)
+        sem_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if include_postproc:
+            # full instance recovery on device (fill holes, CCL, dilation)
+            from tiseg_tpu.ops.ccl import instance_postprocess_device
+            from functools import partial
+            pp = partial(instance_postprocess_device, radius=1, num_classes=2, max_instances=1024)
+            _, inst = jax.vmap(pp)(sem_pred)
+            return inst.astype(jnp.float32)
+        return sem_pred.astype(jnp.float32)
 
     @jax.jit
     def chained(variables, img):

@@ -1,0 +1,128 @@
+"""On-device morphology (jnp, jit-able, static shapes).
+
+TPU-native replacements for the scipy/skimage CPU hot path at eval time
+(SURVEY.md §2.1): dilation/erosion as shifted max/min over structuring-
+element offsets (XLA fuses these into a handful of VPU passes), flood-fill
+based hole filling, and bincount-based small-object removal. All functions
+take (H, W) or (B, H, W) arrays and are differentiability-free eval ops.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def disk_offsets(radius: int):
+    offs = [(dy, dx) for dy in range(-radius, radius + 1) for dx in range(-radius, radius + 1)
+            if dy * dy + dx * dx <= radius * radius]
+    return tuple(offs)
+
+
+def diamond_offsets(radius: int):
+    offs = [(dy, dx) for dy in range(-radius, radius + 1) for dx in range(-radius, radius + 1)
+            if abs(dy) + abs(dx) <= radius]
+    return tuple(offs)
+
+
+def square_offsets(width: int):
+    r = width // 2
+    return tuple((dy, dx) for dy in range(-r, width - r) for dx in range(-r, width - r))
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill):
+    """Shift the last two axes by (dy, dx), filling vacated cells."""
+    out = jnp.roll(x, (dy, dx), axis=(-2, -1))
+    H, W = x.shape[-2], x.shape[-1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = jnp.ones((H, W), bool)
+    if dy > 0:
+        valid &= row_ids >= dy
+    elif dy < 0:
+        valid &= row_ids < H + dy
+    if dx > 0:
+        valid &= col_ids >= dx
+    elif dx < 0:
+        valid &= col_ids < W + dx
+    return jnp.where(valid, out, fill)
+
+
+def grey_dilation(x: jnp.ndarray, offsets) -> jnp.ndarray:
+    """Max over structuring-element shifts (label maps / grayscale)."""
+    out = x
+    for dy, dx in offsets:
+        if dy == 0 and dx == 0:
+            continue
+        out = jnp.maximum(out, _shift2d(x, dy, dx, _min_value(x.dtype)))
+    return out
+
+
+def grey_erosion(x: jnp.ndarray, offsets) -> jnp.ndarray:
+    out = x
+    for dy, dx in offsets:
+        if dy == 0 and dx == 0:
+            continue
+        out = jnp.minimum(out, _shift2d(x, dy, dx, _max_value(x.dtype)))
+    return out
+
+
+def _min_value(dtype):
+    return jnp.iinfo(dtype).min if jnp.issubdtype(dtype, jnp.integer) else -jnp.inf
+
+
+def _max_value(dtype):
+    return jnp.iinfo(dtype).max if jnp.issubdtype(dtype, jnp.integer) else jnp.inf
+
+
+def binary_dilation(mask: jnp.ndarray, offsets) -> jnp.ndarray:
+    return grey_dilation(mask.astype(jnp.int32), offsets) > 0
+
+
+def binary_erosion(mask: jnp.ndarray, offsets) -> jnp.ndarray:
+    # border treated as foreground (skimage convention)
+    inv = ~mask.astype(bool)
+    grown = binary_dilation(inv, tuple((-dy, -dx) for dy, dx in offsets))
+    return ~grown
+
+
+def binary_fill_holes(mask: jnp.ndarray, max_iters: int = None) -> jnp.ndarray:
+    """Holes = background not 4-reachable from the border; filled via an
+    on-device flood fill (fixed-point lax.while_loop)."""
+    mask = mask.astype(bool)
+    H, W = mask.shape[-2], mask.shape[-1]
+    bg = ~mask
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    border = (row_ids == 0) | (row_ids == H - 1) | (col_ids == 0) | (col_ids == W - 1)
+    seed = bg & border
+
+    cross = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+    def cond(state):
+        reached, changed = state
+        return changed
+
+    def body(state):
+        reached, _ = state
+        grown = reached
+        for dy, dx in cross:
+            grown = grown | _shift2d(reached, dy, dx, False)
+        grown = grown & bg
+        return grown, jnp.any(grown != reached)
+
+    reached, _ = jax.lax.while_loop(cond, body, (seed, jnp.array(True)))
+    return mask | (bg & ~reached)
+
+
+def remove_small_objects_labeled(labels: jnp.ndarray, min_size: int, max_label: int) -> jnp.ndarray:
+    """Zero out labels whose pixel count < min_size. ``max_label`` is the
+    static bincount capacity."""
+    flat = labels.reshape(-1).astype(jnp.int32)
+    sizes = jnp.bincount(flat, length=max_label)
+    small = sizes < min_size
+    out = jnp.where(small[labels], 0, labels)
+    return jnp.where(labels == 0, 0, out)
