@@ -67,6 +67,13 @@ def train_segmentor(segmentor, datasets, cfg, distributed: bool = False, validat
     sample = train_dataset[0]
     hw = sample['data']['img'].shape[:2]
     variables = segmentor.init_variables(jax.random.PRNGKey(seed), hw=hw)
+    # ImageNet init when torchvision weights are cached locally (reference
+    # backbones are always pretrained, torch_vgg.py:40)
+    from ..models.backbones.torch_port import maybe_load_pretrained
+    new_vars = maybe_load_pretrained(segmentor, variables)
+    if new_vars is not variables:
+        logger.info('initialized VGG backbone from cached torchvision weights')
+        variables = new_vars
     state = TrainState.create(variables['params'], variables.get('batch_stats', {}), tx)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
     logger.info(f'model params: {n_params / 1e6:.2f}M, train iters/epoch: {iters_per_epoch}')
