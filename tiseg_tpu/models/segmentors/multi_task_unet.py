@@ -49,7 +49,11 @@ def _mt_postprocess(seed_mask: np.ndarray, sem_pred: np.ndarray, fill_first: boo
         mask = m.binary_fill_holes(mask)
         sem_canvas[mask] = sem_id
     inst_pred = m.label(seed_mask, connectivity=1)
-    inst_pred = align_foreground(inst_pred, sem_canvas > 0, 20)
+    try:  # native C++ BFS when built; numpy wave propagation otherwise
+        from ... import native
+        inst_pred = native.align_foreground(inst_pred, sem_canvas > 0, 20)
+    except Exception:
+        inst_pred = align_foreground(inst_pred, sem_canvas > 0, 20)
     return sem_canvas, inst_pred
 
 
