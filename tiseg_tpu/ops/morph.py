@@ -89,32 +89,67 @@ def binary_erosion(mask: jnp.ndarray, offsets) -> jnp.ndarray:
     return ~grown
 
 
-def binary_fill_holes(mask: jnp.ndarray, max_iters: int = None) -> jnp.ndarray:
-    """Holes = background not 4-reachable from the border; filled via an
-    on-device flood fill (fixed-point lax.while_loop)."""
+def _or_scan(seed: jnp.ndarray, gate: jnp.ndarray, axis: int, reverse: bool) -> jnp.ndarray:
+    """Directional reachability: s_j = gate_j & (s_{j-1} | seed_j) scanned
+    along ``axis``. The per-element maps f(s) = (s & m) | c compose
+    associatively, so this is a log-depth associative_scan — one pass
+    propagates reachability an unlimited distance along the axis."""
+    axis = axis % gate.ndim  # lax.rev requires nonnegative axes
+    m = gate
+    c = gate & seed
+
+    def combine(x, y):
+        mx, cx = x
+        my, cy = y
+        return mx & my, (cx & my) | cy
+
+    ms, cs = jax.lax.associative_scan(combine, (m, c), axis=axis, reverse=reverse)
+    # applying the composed map to the initial state s0=False yields cs
+    return cs
+
+
+def flood_reachable(seed: jnp.ndarray, gate: jnp.ndarray, max_rounds: int = 16,
+                    rounds: int = None) -> jnp.ndarray:
+    """4-connected reachability of ``gate`` pixels from ``seed`` via
+    alternating directional scans; converges in O(#path turns) rounds.
+    rounds=None: fixed-point while_loop (exact, bounded by max_rounds);
+    static ``rounds``: unrolled, pipelining-friendly."""
+    seed = seed & gate
+
+    def one_round(r):
+        for axis, reverse in ((-1, False), (-1, True), (-2, False), (-2, True)):
+            r = r | _or_scan(r, gate, axis, reverse)
+        return r
+
+    if rounds is not None:
+        r = seed
+        for _ in range(rounds):
+            r = one_round(r)
+        return r
+
+    def cond(state):
+        reached, changed, i = state
+        return changed & (i < max_rounds)
+
+    def body(state):
+        reached, _, i = state
+        r = one_round(reached)
+        return r, jnp.any(r != reached), i + 1
+
+    reached, _, _ = jax.lax.while_loop(cond, body, (seed, jnp.array(True), jnp.int32(0)))
+    return reached
+
+
+def binary_fill_holes(mask: jnp.ndarray, rounds: int = None) -> jnp.ndarray:
+    """Holes = background not 4-reachable from the border; filled via
+    scan-based on-device flood fill."""
     mask = mask.astype(bool)
     H, W = mask.shape[-2], mask.shape[-1]
     bg = ~mask
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     border = (row_ids == 0) | (row_ids == H - 1) | (col_ids == 0) | (col_ids == W - 1)
-    seed = bg & border
-
-    cross = ((1, 0), (-1, 0), (0, 1), (0, -1))
-
-    def cond(state):
-        reached, changed = state
-        return changed
-
-    def body(state):
-        reached, _ = state
-        grown = reached
-        for dy, dx in cross:
-            grown = grown | _shift2d(reached, dy, dx, False)
-        grown = grown & bg
-        return grown, jnp.any(grown != reached)
-
-    reached, _ = jax.lax.while_loop(cond, body, (seed, jnp.array(True)))
+    reached = flood_reachable(bg & border, bg, rounds=rounds)
     return mask | (bg & ~reached)
 
 
