@@ -207,6 +207,12 @@ class MoNuSegDataset(CustomDataset):
 
 
 @DATASETS.register_module()
+class MoNuSegDatasetDebug(MoNuSegDataset):
+    """Debug twin of MoNuSegDataset used by the reference's label-radius
+    ablation configs (reference monuseg_debug.py:19-241) — same contract."""
+
+
+@DATASETS.register_module()
 class CPM17Dataset(CustomDataset):
     """CPM17 nuclei dataset (reference cpm17.py:6-14)."""
 
@@ -234,10 +240,55 @@ class GlasDataset(CustomDataset):
 
 @DATASETS.register_module()
 class OSCDDataset(CustomDataset):
-    """OSCD carton segmentation dataset (reference oscd.py:18-107)."""
+    """OSCD carton segmentation dataset (reference oscd.py:18-200).
+
+    Unlike the nuclei datasets, OSCD's pre_eval applies its own model-
+    agnostic post-processing to the semantic prediction and returns direct
+    per-image scalar metrics (Aji/Dice/Recall/Precision), which evaluate()
+    averages."""
 
     CLASSES = ('background', 'carton')
     PALETTE = [[0, 0, 0], [255, 2, 255]]
 
     def __init__(self, **kwargs):
-        super().__init__(img_suffix='.jpg', sem_suffix='_sem.png', inst_suffix='_inst.npy', **kwargs)
+        kwargs.setdefault('img_suffix', '.png')
+        super().__init__(**kwargs)
+
+    def _model_agnostic_postprocess(self, fore_pred):
+        from ..utils import morphology as m
+        mask = m.binary_fill_holes(fore_pred > 0)
+        mask = m.remove_small_objects(mask, 64)
+        inst_pred = m.label(mask)
+        sem_pred = (inst_pred > 0).astype(np.uint8)
+        return sem_pred, inst_pred
+
+    def pre_eval(self, preds, indices, show=False, show_folder=None):
+        from ..utils.metrics import (binary_aggregated_jaccard_index, dice_similarity_coefficient, precision_recall)
+        if not isinstance(indices, list):
+            indices = [indices]
+        if not isinstance(preds, list):
+            preds = [preds]
+
+        results = []
+        for pred, index in zip(preds, indices):
+            sem_gt, inst_gt = self._load_gts(index)
+            sem_pred_in = (pred['sem_pred'] == 1).astype(np.uint8)
+            sem_pred, inst_pred = self._model_agnostic_postprocess(sem_pred_in)
+            sem_pred = (inst_pred > 0).astype(np.uint8)
+
+            precision, recall = precision_recall(sem_pred, sem_gt, 2)
+            dice = dice_similarity_coefficient(sem_pred, sem_gt, 2)[1]
+            aji = binary_aggregated_jaccard_index(re_instance(inst_pred), inst_gt)
+            results.append(dict(Aji=aji, Dice=dice, Recall=recall[1], Precision=precision[1]))
+        return results
+
+    def evaluate(self, results, logger=None, **kwargs):
+        from ..utils import ascii_table, get_logger
+        log = get_logger()
+        keys = ('Aji', 'Dice', 'Recall', 'Precision')
+        eval_results = OrderedDict(
+            {k: np.round(np.nanmean([r[k] for r in results]) * 100, 2)
+             for k in keys})
+        log.info('OSCD eval:\n' + ascii_table(list(eval_results), [list(eval_results.values())]))
+        storage = {'mean_metrics': eval_results, 'overall_metrics': eval_results}
+        return eval_results, storage

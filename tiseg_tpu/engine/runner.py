@@ -77,6 +77,20 @@ class EpochBasedRunner:
         self.start_epoch = 0
         self.best_score = None
         self.best_rule = self.evaluation.get('rule', 'greater')
+        self.tb = None
+        if cfg.get('log_config', {}).get('tensorboard', True) and jax.process_index() == 0:
+            try:
+                from tensorboardX import SummaryWriter
+                self.tb = SummaryWriter(osp.join(work_dir, 'tf_logs'))
+            except ImportError:
+                pass
+
+    def _tb_log(self, record: Dict, step: int, prefix: str):
+        if self.tb is None:
+            return
+        for k, v in record.items():
+            if isinstance(v, (int, float)) and k not in ('epoch', 'iter'):
+                self.tb.add_scalar(f'{prefix}/{k}', v, step)
 
     # ------------------------------------------------------------------
     def resume(self, auto: bool = True):
@@ -124,6 +138,7 @@ class EpochBasedRunner:
                 record = {'mode': 'train', 'epoch': epoch + 1, 'iter': it + 1, 'lr': lr, 'time': dt}
                 record.update(avg)
                 self.jsonl.log(record)
+                self._tb_log(record, int(self.state.step), 'train')
                 buf.clear()
 
     def evaluate(self, epoch: int):
@@ -138,6 +153,7 @@ class EpochBasedRunner:
         record = {'mode': 'val', 'epoch': epoch + 1}
         record.update({k: float(v) for k, v in eval_results.items()})
         self.jsonl.log(record)
+        self._tb_log(record, epoch + 1, 'val')
 
         save_best = self.evaluation.get('save_best')
         if save_best:
