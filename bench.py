@@ -27,6 +27,13 @@ BASELINE_PATCHES_PER_SEC = 5000.0
 
 def main():
     import jax
+    # persistent compilation cache: repeat bench runs skip the (slow,
+    # remote) XLA compile entirely
+    try:
+        jax.config.update('jax_compilation_cache_dir', os.environ.get('JAX_CACHE_DIR', '/tmp/tiseg_jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
     from tiseg_tpu.models import build_segmentor
