@@ -170,5 +170,11 @@ class HoverNet(BaseSegmentor):
         sem_pred = np.argmax(np.asarray(fused['sem']), axis=-1).astype(np.uint8)
         hv_pred = np.asarray(fused['hv'])
         fore_prob = np.asarray(fused['fore'])[..., 1]
-        inst_pred = hover_post_proc(fore_prob, hv_pred, scale_factor=self.test_cfg.get('scale_factor', 1))
+        if self.test_cfg.get('device_postprocess', False) and self.test_cfg.get('scale_factor', 1) == 1:
+            import jax.numpy as jnp
+            from ...ops.hover import hover_post_proc_device
+            inst_pred = np.asarray(hover_post_proc_device(jnp.asarray(fore_prob), jnp.asarray(hv_pred),
+                                                          rounds=self.test_cfg.get('pp_rounds')))
+        else:
+            inst_pred = hover_post_proc(fore_prob, hv_pred, scale_factor=self.test_cfg.get('scale_factor', 1))
         return {'sem_pred': sem_pred, 'inst_pred': inst_pred}

@@ -79,7 +79,15 @@ class UNet(BaseSegmentor):
         return total, (log_vars, new_state)
 
     def postprocess(self, fused):
-        sem_pred = np.argmax(np.asarray(fused['sem']), axis=-1).astype(np.uint8)
+        sem_pred = np.argmax(np.asarray(fused['sem']), axis=-1)
         radius = self.test_cfg.get('radius', 1)
-        sem, inst = instance_postprocess(sem_pred, radius=radius)
+        if self.test_cfg.get('device_postprocess', False):
+            # TPU path: fill holes / CCL / dilation on device
+            import jax.numpy as jnp
+            from ...ops.ccl import instance_postprocess_device
+            sem, inst = instance_postprocess_device(jnp.asarray(sem_pred.astype(np.int32)), radius=radius,
+                                                    num_classes=self.num_classes,
+                                                    rounds=self.test_cfg.get('pp_rounds'))
+            return {'sem_pred': np.asarray(sem), 'inst_pred': np.asarray(inst)}
+        sem, inst = instance_postprocess(sem_pred.astype(np.uint8), radius=radius)
         return {'sem_pred': sem, 'inst_pred': inst}
