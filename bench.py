@@ -37,7 +37,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from tiseg_tpu.models import build_segmentor
-    from tiseg_tpu.ops.ccl import instance_postprocess_device
+    from tiseg_tpu.ops.pallas_postproc import instance_postprocess_pallas
 
     seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')),
                           dtype=jnp.bfloat16)
@@ -82,7 +82,7 @@ def main():
     total_rate = net_rate
     if include_postproc:
         # ---- stage 2: on-device instance post-processing ------------------
-        pp = partial(instance_postprocess_device, radius=1, num_classes=2, max_instances=1024, rounds=4)
+        pp = partial(instance_postprocess_pallas, radius=1, num_classes=2, ccl_rounds=128)
 
         @jax.jit
         def pp_scalar(sem_batch):

@@ -81,13 +81,22 @@ class UNet(BaseSegmentor):
     def postprocess(self, fused):
         sem_pred = np.argmax(np.asarray(fused['sem']), axis=-1)
         radius = self.test_cfg.get('radius', 1)
-        if self.test_cfg.get('device_postprocess', False):
-            # TPU path: fill holes / CCL / dilation on device
+        mode = self.test_cfg.get('device_postprocess', False)
+        if mode:
+            # TPU path: fill holes / CCL / dilation on device. 'xla' selects
+            # the exact fixed-point scan path; default is the VMEM-resident
+            # Pallas kernels (exact up to component diameter ccl_rounds).
             import jax.numpy as jnp
-            from ...ops.ccl import instance_postprocess_device
-            sem, inst = instance_postprocess_device(jnp.asarray(sem_pred.astype(np.int32)), radius=radius,
-                                                    num_classes=self.num_classes,
-                                                    rounds=self.test_cfg.get('pp_rounds'))
+            if mode == 'xla':
+                from ...ops.ccl import instance_postprocess_device
+                sem, inst = instance_postprocess_device(jnp.asarray(sem_pred.astype(np.int32)), radius=radius,
+                                                        num_classes=self.num_classes,
+                                                        rounds=self.test_cfg.get('pp_rounds'))
+            else:
+                from ...ops.pallas_postproc import instance_postprocess_pallas
+                sem, inst = instance_postprocess_pallas(jnp.asarray(sem_pred.astype(np.int32)), radius=radius,
+                                                        num_classes=self.num_classes,
+                                                        ccl_rounds=self.test_cfg.get('pp_rounds', 128) or 128)
             return {'sem_pred': np.asarray(sem), 'inst_pred': np.asarray(inst)}
         sem, inst = instance_postprocess(sem_pred.astype(np.uint8), radius=radius)
         return {'sem_pred': sem, 'inst_pred': inst}
