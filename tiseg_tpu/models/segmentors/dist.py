@@ -86,5 +86,10 @@ class DIST(BaseSegmentor):
         sem_pred = np.argmax(np.asarray(fused['sem']), axis=-1).astype(np.uint8)
         dist = np.asarray(fused['dist'])[..., 0].copy()
         dist = np.clip(dist, 0, 255).astype(np.int32)
-        inst_pred = dynamic_watershed(dist, 0.0, 0.5)
+        if self.test_cfg.get('device_postprocess', False):
+            import jax.numpy as jnp
+            from ...ops.dist_ws import dynamic_watershed_device
+            inst_pred = np.asarray(dynamic_watershed_device(jnp.asarray(dist), 0.0, 0.5))
+        else:
+            inst_pred = dynamic_watershed(dist, 0.0, 0.5)
         return {'sem_pred': sem_pred, 'inst_pred': inst_pred.astype(np.int32)}
