@@ -36,7 +36,7 @@ def reconstruction_by_erosion(seed: jnp.ndarray, mask: jnp.ndarray, max_iters: i
     return rec
 
 
-@partial(jax.jit, static_argnames=('num_levels',))
+@partial(jax.jit, static_argnames=('lamb', 'p_thresh', 'num_levels'))
 def dynamic_watershed_device(p_img: jnp.ndarray, lamb: float = 0.0, p_thresh: float = 0.5,
                              num_levels: int = 64) -> jnp.ndarray:
     """(H, W) distance/prob image (values ~[0, 255]) -> int32 instances."""
