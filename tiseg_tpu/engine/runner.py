@@ -115,6 +115,19 @@ class EpochBasedRunner:
                 self.ckpt.save(int(self.state.step), self.state)
         return self.state
 
+    def _debug_dump(self, batch, epoch: int, it: int):
+        """Per-iteration raw input/label dumps for visual debugging (the
+        CustomRunner analog, reference tiseg/utils/hooks/custom_runner.py:
+        5-72); render with tools/generate_debug_img.py."""
+        every = self.cfg.get('debug_dump_interval', 0)
+        if not every or (it % every) != 0:
+            return
+        out = osp.join(self.work_dir, 'temp')
+        os.makedirs(out, exist_ok=True)
+        for group in ('data', 'label'):
+            for k, v in batch.get(group, {}).items():
+                np.save(osp.join(out, f'e{epoch + 1}_i{it + 1}_{k}.npy'), np.asarray(v[0]))
+
     def train_epoch(self, epoch: int):
         self.train_loader.set_epoch(epoch)
         buf = LogBuffer()
@@ -122,6 +135,7 @@ class EpochBasedRunner:
         n_iters = len(self.train_loader)
         for it, batch in enumerate(self.train_loader):
             batch.pop('metas', None)
+            self._debug_dump(batch, epoch, it)
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch)
             self.state, logs = self.train_step(self.state, batch)

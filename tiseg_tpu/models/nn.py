@@ -3,9 +3,13 @@
 Conventions:
 - all activations are NHWC; all convs channels-last (HWIO kernels) so XLA
   tiles them directly onto the MXU;
-- BatchNorm carries a ``batch_stats`` collection; pass ``axis_name`` for
-  cross-replica (SyncBN) statistics — the TPU equivalent of the reference's
-  mmcv SyncBN (reference: tiseg/models/utils/syncbn2bn.py:22-43);
+- BatchNorm carries a ``batch_stats`` collection. Under pjit data
+  parallelism the batch statistics are computed over the FULL global batch
+  (XLA inserts the cross-device reduction automatically), i.e. SyncBN
+  semantics come for free — strictly stronger than the reference's
+  per-device BN + optional mmcv SyncBN (tiseg/models/utils/
+  syncbn2bn.py:22-43). The ``axis_name`` option additionally supports
+  explicit pmap/shard_map contexts;
 - ``dtype`` selects the compute dtype (bfloat16 on TPU); params stay f32.
 """
 from __future__ import annotations
