@@ -1,0 +1,45 @@
+"""Fused device eval (inference + pallas post-processing in one jit) must
+partition-match the host post-processing path."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from tiseg_tpu.models import build_segmentor
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    monkeypatch.setattr(pl, 'pallas_call', functools.partial(pl.pallas_call, interpret=True))
+    yield
+
+
+def test_unet_fused_eval_matches_host():
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(),
+                               test_cfg=dict(mode='whole', radius=1, device_postprocess=True)))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32))
+
+    out = seg.inference_and_postprocess(variables, img)
+    assert out is not None
+    dev_sem = np.asarray(out['sem_pred'][0])
+    dev_inst = np.asarray(out['inst_pred'][0])
+
+    seg.test_cfg['device_postprocess'] = False
+    fused = seg.inference(variables, img)
+    host = seg.postprocess({k: np.asarray(v[0]) for k, v in fused.items()})
+
+    np.testing.assert_array_equal(dev_sem, host['sem_pred'])
+    # partitions equal up to renaming
+    assert ((dev_inst > 0) == (host['inst_pred'] > 0)).all()
+    pairs = set(zip(host['inst_pred'][dev_inst > 0], dev_inst[dev_inst > 0]))
+    assert len(pairs) == len({a for a, _ in pairs}) == len({b for _, b in pairs})
+
+
+def test_fused_disabled_returns_none():
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    assert seg.inference_and_postprocess(variables, jnp.zeros((1, 64, 64, 3))) is None

@@ -22,18 +22,27 @@ from ..utils import get_logger
 
 
 class InferenceRunner:
-    """Caches a jitted inference closure per (H, W, ori_hw)."""
+    """Caches a jitted inference closure per (H, W, ori_hw). When the
+    segmentor supports the fused device path (inference + instance
+    post-processing in one jit, returning small integer maps instead of
+    float logits), that program is used instead."""
 
     def __init__(self, segmentor, variables):
         self.segmentor = segmentor
         self.variables = variables
+        self.fused_device = (getattr(segmentor, 'device_pp_supported', False)
+                             and segmentor.test_cfg.get('device_postprocess', False))
         self._cache = {}
 
     def __call__(self, img: np.ndarray, ori_hw):
         key = (img.shape, tuple(ori_hw))
         if key not in self._cache:
             seg = self.segmentor
-            self._cache[key] = jax.jit(lambda v, im: seg.inference(v, im, ori_hw=tuple(ori_hw)))
+            if self.fused_device:
+                self._cache[key] = jax.jit(
+                    lambda v, im: seg.inference_and_postprocess(v, im, ori_hw=tuple(ori_hw)))
+            else:
+                self._cache[key] = jax.jit(lambda v, im: seg.inference(v, im, ori_hw=tuple(ori_hw)))
         fused = self._cache[key](self.variables, img)
         return {k: np.asarray(v) for k, v in fused.items()}
 
@@ -50,7 +59,10 @@ def single_device_test(segmentor, variables, dataset, pre_eval: bool = True, sho
         img = item['data']['img'][None]
         ori_hw = tuple(item['metas']['ori_hw'])
         fused = runner(img, ori_hw)
-        pred = segmentor.postprocess({k: v[0] for k, v in fused.items()})
+        if runner.fused_device:
+            pred = {k: v[0] for k, v in fused.items()}  # already post-processed
+        else:
+            pred = segmentor.postprocess({k: v[0] for k, v in fused.items()})
         if pre_eval:
             results.extend(dataset.pre_eval(pred, i, show=show, show_folder=show_folder))
         else:

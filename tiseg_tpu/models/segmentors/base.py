@@ -125,6 +125,32 @@ class BaseSegmentor:
         {'sem_pred': uint8 (H, W), 'inst_pred': int32 (H, W)}."""
         raise NotImplementedError
 
+    # -- fused device path -------------------------------------------------------
+    # CCL-family segmentors (per-class fill/CCL/dilate on the argmax map)
+    # can run post-processing fused with inference in ONE jit program,
+    # returning small integer maps instead of float logits.
+    device_pp_supported = False
+    device_pp_strip_boundary = False
+    device_pp_default_radius = 1
+
+    def inference_and_postprocess(self, variables, img, ori_hw=None):
+        """Full eval step on device; returns {'sem_pred' (B,H,W) uint8,
+        'inst_pred' (B,H,W) int32} or None if unsupported/disabled."""
+        if not (self.device_pp_supported and self.test_cfg.get('device_postprocess', False)):
+            return None
+        from functools import partial
+        from ...ops.pallas_postproc import instance_postprocess_pallas
+
+        fused = self.inference(variables, img, ori_hw=ori_hw)
+        sem_pred = jnp.argmax(fused['sem'], axis=-1).astype(jnp.int32)
+        if self.device_pp_strip_boundary:
+            sem_pred = jnp.where(sem_pred == self.num_classes, 0, sem_pred)
+        pp = partial(instance_postprocess_pallas, radius=self.test_cfg.get('radius', self.device_pp_default_radius),
+                     num_classes=self.num_classes,
+                     ccl_rounds=self.test_cfg.get('pp_rounds', 128) or 128)
+        sem_out, inst_out = jax.vmap(pp)(sem_pred)
+        return {'sem_pred': sem_out, 'inst_pred': inst_out}
+
     # -- training metrics --------------------------------------------------------
     def training_metrics(self, sem_logit, sem_gt) -> Dict[str, jnp.ndarray]:
         from ..losses import mdice, tdice

@@ -45,6 +45,10 @@ class CDNetNet(nn.Module):
 @SEGMENTORS.register_module()
 class CDNet(BaseSegmentor):
 
+    device_pp_supported = True
+    device_pp_strip_boundary = True
+    device_pp_default_radius = 3
+
     def __init__(self, num_classes, train_cfg=None, test_cfg=None, num_angles: int = 8, dtype=jnp.float32,
                  axis_name=None):
         super().__init__(num_classes, train_cfg, test_cfg)

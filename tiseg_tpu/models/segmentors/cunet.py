@@ -36,6 +36,10 @@ class CUNetNet(nn.Module):
 @SEGMENTORS.register_module()
 class CUNet(BaseSegmentor):
 
+    device_pp_supported = True
+    device_pp_strip_boundary = True
+    device_pp_default_radius = 3
+
     def __init__(self, num_classes, train_cfg=None, test_cfg=None, dtype=jnp.float32, axis_name=None):
         super().__init__(num_classes, train_cfg, test_cfg)
         self.net = CUNetNet(num_classes=num_classes, dtype=dtype, axis_name=axis_name)

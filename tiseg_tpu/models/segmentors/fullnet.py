@@ -82,6 +82,10 @@ class FullNetNet(nn.Module):
 @SEGMENTORS.register_module()
 class FullNet(BaseSegmentor):
 
+    device_pp_supported = True
+    device_pp_strip_boundary = True
+    device_pp_default_radius = 3
+
     def __init__(self, num_classes, train_cfg=None, test_cfg=None, dtype=jnp.float32, axis_name=None):
         super().__init__(num_classes, train_cfg, test_cfg)
         self.net = FullNetNet(num_classes=num_classes, dtype=dtype, axis_name=axis_name)

@@ -139,6 +139,8 @@ class MicroNetNet(nn.Module):
 class MicroNet(BaseSegmentor):
     """Input must be 252x252 or 508x508 (valid convolutions)."""
 
+    device_pp_supported = True
+
     def __init__(self, num_classes, train_cfg=None, test_cfg=None, dtype=jnp.float32, axis_name=None):
         super().__init__(num_classes, train_cfg, test_cfg)
         self.net = MicroNetNet(num_classes=num_classes, dtype=dtype, axis_name=axis_name)

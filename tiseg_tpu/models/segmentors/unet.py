@@ -59,6 +59,8 @@ def instance_postprocess(sem_pred: np.ndarray, radius: int = 1, min_size: int = 
 @SEGMENTORS.register_module()
 class UNet(BaseSegmentor):
 
+    device_pp_supported = True
+
     def __init__(self, num_classes, train_cfg=None, test_cfg=None, dtype=jnp.float32, axis_name=None):
         super().__init__(num_classes, train_cfg, test_cfg)
         self.net = UNetNet(num_classes=num_classes, dtype=dtype, axis_name=axis_name)
