@@ -1,0 +1,70 @@
+"""CLI smoke tests: tools/train.py + tools/log_analysis.py end-to-end on a
+synthetic mini dataset via subprocess (2 epochs, tiny UNet input)."""
+import json
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+from test_datasets import make_mini_dataset  # noqa: E402
+
+CONFIG_TPL = """
+data_root = {root!r}
+train_processes = [
+    dict(type='Normalize'),
+    dict(type='UNetLabelMake'),
+    dict(type='Formatting', data_keys=['img'], label_keys=['sem_gt', 'sem_gt_inner', 'loss_weight_map']),
+]
+test_processes = [
+    dict(type='Normalize'),
+    dict(type='Formatting', data_keys=['img'], label_keys=[]),
+]
+data = dict(
+    samples_per_gpu=4,
+    workers_per_gpu=0,
+    train=dict(type='MoNuSegDataset', data_root=data_root, img_dir='images', ann_dir='annotations',
+               split='train.txt', processes=train_processes),
+    val=dict(type='MoNuSegDataset', data_root=data_root, img_dir='images', ann_dir='annotations',
+             split='train.txt', processes=test_processes),
+    test=dict(type='MoNuSegDataset', data_root=data_root, img_dir='images', ann_dir='annotations',
+              split='train.txt', processes=test_processes),
+)
+optimizer = dict(type='Adam', lr=1e-3, weight_decay=5e-4)
+optimizer_config = dict()
+lr_config = dict(policy='fixed', warmup=None)
+runner = dict(type='EpochBasedRunner', max_epochs=2)
+evaluation = dict(interval=2, save_best='Aji')
+checkpoint_config = dict(interval=2, max_keep_ckpts=1)
+log_config = dict(interval=1, tensorboard=False)
+model = dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole', radius=1))
+"""
+
+
+@pytest.mark.slow
+def test_train_cli(tmp_path):
+    root = str(tmp_path / 'ds')
+    make_mini_dataset(root, n=4, hw=64)
+    cfg_path = str(tmp_path / 'cfg.py')
+    with open(cfg_path, 'w') as f:
+        f.write(CONFIG_TPL.format(root=root))
+    work_dir = str(tmp_path / 'work')
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               XLA_FLAGS='--xla_force_host_platform_device_count=8')
+    r = subprocess.run([sys.executable, osp.join(REPO, 'tools', 'train.py'), cfg_path,
+                        '--work-dir', work_dir, '--seed', '0'],
+                       capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-4000:]
+    log_path = osp.join(work_dir, 'log.jsonl')
+    assert osp.exists(log_path)
+    records = [json.loads(line) for line in open(log_path) if line.strip()]
+    assert any(rec.get('mode') == 'val' for rec in records)
+
+    r2 = subprocess.run([sys.executable, osp.join(REPO, 'tools', 'log_analysis.py'), log_path],
+                        capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stderr
+    assert 'average of last' in r2.stdout
