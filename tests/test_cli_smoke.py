@@ -24,7 +24,7 @@ test_processes = [
     dict(type='Formatting', data_keys=['img'], label_keys=[]),
 ]
 data = dict(
-    samples_per_gpu=4,
+    samples_per_gpu=1,
     workers_per_gpu=0,
     train=dict(type='MoNuSegDataset', data_root=data_root, img_dir='images', ann_dir='annotations',
                split='train.txt', processes=train_processes),

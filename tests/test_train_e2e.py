@@ -34,7 +34,7 @@ def test_train_eval_e2e(tmp_path):
     cfg = Config.fromdict(
         dict(
             data=dict(
-                samples_per_gpu=8,
+                samples_per_gpu=1,  # per-device; global batch = 8 on the 8-device mesh
                 workers_per_gpu=2,
                 train=dict(type='MoNuSegDataset', data_root=root, img_dir='images', ann_dir='annotations',
                            split='train.txt', processes=TRAIN_PROCESSES),

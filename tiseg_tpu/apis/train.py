@@ -44,8 +44,11 @@ def train_segmentor(segmentor, datasets, cfg, distributed: bool = False, validat
     world_size = jax.process_count()
     rank = jax.process_index()
 
+    # samples_per_gpu is per-chip (mmcv semantics); the loader produces this
+    # process's share of the global batch = samples_per_gpu * device_count
+    local_batch = cfg.data['samples_per_gpu'] * jax.local_device_count()
     loader = build_dataloader(train_dataset,
-                              samples_per_gpu=cfg.data['samples_per_gpu'],
+                              samples_per_gpu=local_batch,
                               workers_per_gpu=cfg.data.get('workers_per_gpu', 4),
                               dist=world_size > 1, shuffle=True, seed=seed,
                               world_size=world_size, rank=rank, drop_last=True)
