@@ -11,14 +11,36 @@ These run in dataloader workers; crops can also be pre-generated offline.
 from __future__ import annotations
 
 import numpy as np
+from scipy import ndimage
 from scipy.ndimage import gaussian_filter
 
 from ...utils import morphology as m
 from ...utils.misc import get_bounding_box
-from ..utils.center import calculate_centerpoint
+from ..utils.center import fast_centerpoint as calculate_centerpoint
 from ..utils.direction import angle_to_vector, generate_direction_differential_map, vector_to_label
 from ..utils.gradient import calculate_gradient
 from ..utils.instance import fix_instance
+
+
+def instance_boxes(inst_gt: np.ndarray):
+    """One-pass (id, (yslice, xslice)) bboxes for all instances: the key
+    host-side optimization — every per-instance op below runs on a padded
+    bbox crop instead of the full image (exact: each instance is fully
+    contained in its crop)."""
+    ids = np.unique(inst_gt)
+    ids = ids[ids != 0]
+    if ids.size == 0:
+        return []
+    dense = np.searchsorted(ids, inst_gt) + 1
+    dense[inst_gt == 0] = 0
+    slices = ndimage.find_objects(dense, max_label=len(ids))
+    return [(int(i), s) for i, s in zip(ids, slices) if s is not None]
+
+
+def _pad_slices(sl, pad, shape):
+    ys, xs = sl
+    return (slice(max(ys.start - pad, 0), min(ys.stop + pad, shape[0])),
+            slice(max(xs.start - pad, 0), min(xs.stop + pad, shape[1])))
 
 
 class BoundLabelMake:
@@ -46,12 +68,12 @@ class BoundLabelMake:
         assert np.allclose(sem_gt > 0, inst_gt > 0)
         d0 = m.diamond(self.radius[0])
         d1 = m.diamond(self.radius[1])
-        for inst_id in np.unique(inst_gt):
-            if inst_id == 0:
-                continue
-            mask = inst_gt == inst_id
+        pad = max(self.radius) + 1
+        for inst_id, sl in instance_boxes(inst_gt):
+            view = _pad_slices(sl, pad, inst_gt.shape)
+            mask = inst_gt[view] == inst_id
             bound = m.dilation(mask, d0) & (~m.erosion(mask, d1))
-            sem_gt_w_bound[bound] = self.edge_id
+            sem_gt_w_bound[view][bound] = self.edge_id
 
         data['sem_gt_w_bound'] = sem_gt_w_bound
         data['seg_fields'].append('sem_gt_w_bound')
@@ -70,34 +92,39 @@ class UNetLabelMake:
     def _remove_1px_boundary(self, inst_gt):
         new = np.zeros(inst_gt.shape[:2], np.int32)
         d1 = m.diamond(1)
-        for inst_id in np.unique(inst_gt):
-            if inst_id == 0:
-                continue
-            er = m.erosion((inst_gt == inst_id).astype(np.uint8), d1)
-            new[er > 0] = inst_id
+        for inst_id, sl in instance_boxes(inst_gt):
+            view = _pad_slices(sl, 2, inst_gt.shape)
+            er = m.erosion((inst_gt[view] == inst_id).astype(np.uint8), d1)
+            new[view][er > 0] = inst_id
         return new
+
+    # distances beyond this contribute weight < w0 * exp(-(TRUNC/sigma)^2/2)
+    # ~ 4e-15 for the defaults — numerically zero in the float32 pipeline
+    TRUNC = 40
 
     def _get_weight_map(self, ann, inst_list):
         if len(inst_list) <= 1:
             return np.zeros(ann.shape[:2])
-        # distance to border of nearest and 2nd-nearest instance, per pixel
-        stacked = np.zeros(ann.shape[:2] + (len(inst_list),))
-        for idx, inst_id in enumerate(inst_list):
-            stacked[..., idx] = m.distance_transform_edt((ann != inst_id).astype(np.uint8))
-        near1 = np.amin(stacked, axis=2)
-        diff = stacked - near1[..., None]
-        diff[diff == 0] = np.inf
-        near2 = np.amin(diff, axis=2)
-        near2[ann > 0] = 0
-        near2 = near2 + near1
-        # where two instances are equidistant, near2 collapses to near1
-        eve = (1.0 + stacked) / (1.0 + near1[..., None])
-        eve[eve != 1] = 0
-        ties = np.sum(eve, axis=2) > 1
-        near2[ties] = near1[ties]
+        # running nearest / second-nearest instance-border distances, each
+        # instance's EDT computed only on its padded bbox (exact within the
+        # truncation radius; see TRUNC)
+        BIG = 1e9
+        near1 = np.full(ann.shape[:2], BIG)
+        near2 = np.full(ann.shape[:2], BIG)
+        for inst_id, sl in instance_boxes(ann):
+            view = _pad_slices(sl, self.TRUNC, ann.shape)
+            d = m.distance_transform_edt((ann[view] != inst_id).astype(np.uint8))
+            v1 = near1[view]
+            v2 = near2[view]
+            smaller = d < v1
+            near2[view] = np.where(smaller, v1, np.minimum(v2, d))
+            near1[view] = np.where(smaller, d, v1)
+            # equidistant tie from a different instance -> near2 == near1
+            tie = (~smaller) & (d == v1)
+            near2[view][tie] = near1[view][tie]
 
-        pix = near1 + near2
-        pen = self.w0 * np.exp(-(pix / self.sigma)**2 / 2)
+        pix = np.where(near2 >= BIG, BIG, near1 + near2)
+        pen = self.w0 * np.exp(-np.minimum(pix, 4 * self.TRUNC)**2 / (2 * self.sigma**2))
         pen[ann > 0] = 0
         return pen
 
@@ -187,27 +214,34 @@ class DirectionLabelMake:
 
     @classmethod
     def calculate_point_map(cls, instance_map, to_center=True):
+        """Per-instance work runs on padded bbox crops: the center search
+        only probes instance pixels, the distance-to-center field is
+        analytic, and the ksize-11 gradient needs a 5px halo of the
+        (instance-supported) distance field — all exact on crops."""
         H, W = instance_map.shape[:2]
         dist_map = np.zeros((H, W), dtype=np.float32)
         gradient_map = np.zeros((H, W, 2), dtype=np.float32)
         point_map = np.zeros((H, W), dtype=np.float32)
 
-        markers = [k for k in np.unique(instance_map) if k != 0]
-        for k in markers:
-            single = (instance_map == k).astype(np.uint8)
-            center = calculate_centerpoint(single, H, W)
+        boxes = instance_boxes(instance_map)
+        for k, sl in boxes:
+            view = _pad_slices(sl, 6, instance_map.shape)
+            single = (instance_map[view] == k).astype(np.uint8)
+            h, w = single.shape
+            center = calculate_centerpoint(single, h, w)
             assert single[center[0], center[1]] > 0
-            point_map[center[0], center[1]] = 1
+            point_map[view[0].start + center[0], view[1].start + center[1]] = 1
             if to_center:
                 d = cls._distance_to_center(single, center)
             else:
                 d = cls._distance_to_centralridge(single)
-            dist_map += d
+            dist_map[view] += d
             g = calculate_gradient(d, ksize=11)
             g[single == 0, :] = 0
-            gradient_map[single != 0, :] = 0
-            gradient_map += g
-        assert int(point_map.sum()) == len(markers)
+            gm = gradient_map[view]
+            gm[single != 0, :] = 0
+            gm += g
+        assert int(point_map.sum()) == len(boxes)
 
         point_map_gaussian = gaussian_filter(point_map * 255, sigma=2, order=0).astype(np.float32)
         dist_map = (dist_map**0.5) * 10

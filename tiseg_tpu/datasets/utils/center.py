@@ -53,3 +53,15 @@ def calculate_centerpoint(instance_mask: np.ndarray, H: int = None, W: int = Non
     centerness = min_d / max_d
     best = int(np.argmax(centerness))
     return [int(ys[best]), int(xs[best])]
+
+
+def fast_centerpoint(instance_mask: np.ndarray, H=None, W=None):
+    """Native C++ kernel when built (~10x), numpy otherwise (identical
+    arithmetic; see tiseg_tpu/native/postproc.cpp)."""
+    try:
+        from ... import native
+        if native.HAS_NATIVE:
+            return native.calculate_centerpoint(instance_mask)
+    except Exception:
+        pass
+    return calculate_centerpoint(instance_mask)

@@ -26,18 +26,20 @@ def re_instance(instance_map: np.ndarray) -> np.ndarray:
 def fix_instance(inst_gt: np.ndarray, min_size: int = 5) -> np.ndarray:
     """Re-canonicalize an instance map: per original id, drop tiny 4-conn
     fragments (<min_size px) and split disconnected parts into separate
-    8-conn components, renumbering contiguously."""
+    8-conn components, renumbering contiguously. Per-instance work runs on
+    bbox crops (exact: each id's pixels are inside its bbox)."""
+    from ..ops.label_maps import instance_boxes  # local import: avoids cycle
+
     cur = 0
     new_inst_gt = np.zeros_like(inst_gt, dtype=inst_gt.dtype if inst_gt.dtype != bool else np.int32)
-    for inst_id in np.unique(inst_gt):
-        if inst_id == 0:
-            continue
-        inst_map = inst_gt == inst_id
-        inst_map = m.remove_small_objects(inst_map, min_size)
-        remapped = m.label(inst_map.astype(np.uint8))
-        remapped[remapped > 0] += cur
-        new_inst_gt[remapped > 0] = remapped[remapped > 0]
-        cur += len(np.unique(remapped[remapped > 0]))
+    for inst_id, sl in instance_boxes(np.asarray(inst_gt)):
+        view_map = inst_gt[sl] == inst_id
+        view_map = m.remove_small_objects(view_map, min_size)
+        remapped = m.label(view_map.astype(np.uint8))
+        n = int(remapped.max())
+        out_view = new_inst_gt[sl]
+        out_view[remapped > 0] = (remapped[remapped > 0] + cur).astype(new_inst_gt.dtype)
+        cur += n
     return new_inst_gt
 
 
