@@ -77,3 +77,23 @@ def test_active_contour_region_terms():
     good = target
     bad = 1.0 - target
     assert float(L.active_contour_loss(good, target)) < float(L.active_contour_loss(bad, target))
+
+
+def test_surface_loss_prefers_correct_side():
+    from tiseg_tpu.models.losses import one_hot2dist, surface_loss
+    cmap = np.zeros((16, 16), np.int64)
+    cmap[4:12, 4:12] = 1
+    dist = one_hot2dist(cmap, 3)  # (C, H, W)
+    dist = jnp.asarray(np.transpose(dist, (1, 2, 0)))[None]
+    good = jax.nn.one_hot(jnp.asarray(cmap)[None], 3)
+    bad = jax.nn.one_hot(jnp.asarray(1 - cmap)[None], 3)
+    assert float(surface_loss(good, dist, idc=(1,))) < float(surface_loss(bad, dist, idc=(1,)))
+
+
+def test_robust_focal_clamped():
+    labels = jnp.zeros((1, 8, 8), jnp.int32)
+    very_wrong = jax.nn.one_hot(1 - labels, 2) * 50.0  # p_t ~ 0 -> focus ~ 1
+    plain = float(L.focal_loss(very_wrong, labels, gamma=2.0))
+    robust = float(L.focal_loss(very_wrong, labels, gamma=2.0, robust=True))
+    assert np.isfinite(plain) and np.isfinite(robust)
+    assert robust <= plain * 2 + 1e-6

@@ -123,8 +123,9 @@ def dice_loss(logits, labels, num_classes: int):
 # ---------------------------------------------------------------------------
 # focal
 # ---------------------------------------------------------------------------
-def focal_loss(logits, labels, gamma: float = 2.0, class_weight=None, loss_type='softmax'):
-    """Softmax/sigmoid focal loss (reference focal_loss.py:6-52)."""
+def focal_loss(logits, labels, gamma: float = 2.0, class_weight=None, loss_type='softmax', robust: bool = False):
+    """Softmax/sigmoid focal loss; ``robust`` clamps the focusing factor to
+    [0, 2] (reference focal_loss.py:6-100, RobustFocalLoss2d)."""
     if loss_type == 'softmax':
         probs = jax.nn.softmax(logits, axis=-1)
         p_t = jnp.take_along_axis(probs, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
@@ -132,10 +133,40 @@ def focal_loss(logits, labels, gamma: float = 2.0, class_weight=None, loss_type=
         prob = jax.nn.sigmoid(logits[..., 0] if logits.ndim == labels.ndim + 1 else logits)
         p_t = jnp.where(labels > 0, prob, 1 - prob)
     p_t = jnp.clip(p_t, 1e-8, 1 - 1e-8)
+    focus = (1 - p_t)**gamma
+    if robust:
+        focus = jnp.clip(focus, 0.0, 2.0)
     w = 1.0
     if class_weight is not None:
         w = jnp.asarray(class_weight)[labels]
-    return jnp.mean(-w * (1 - p_t)**gamma * jnp.log(p_t))
+    return jnp.mean(-w * focus * jnp.log(p_t))
+
+
+def one_hot2dist(class_map: 'np.ndarray', num_classes: int):
+    """Host-side signed distance maps per class for the surface loss
+    (reference surface_loss.py: one_hot2dist): negative inside the class
+    region, positive outside."""
+    import numpy as np
+    from scipy import ndimage
+    out = np.zeros((num_classes, *class_map.shape), np.float32)
+    for c in range(num_classes):
+        pos = class_map == c
+        if pos.any():
+            neg_d = ndimage.distance_transform_edt(~pos)
+            pos_d = ndimage.distance_transform_edt(pos)
+            out[c] = neg_d * (~pos) - (pos_d - 1) * pos
+    return out
+
+
+def surface_loss(probs, dist_maps, idc=(1, 2)):
+    """Boundary (surface) loss: mean of probs x signed GT distance over the
+    selected foreground classes (reference surface_loss.py:80-118).
+    probs: (B, H, W, C) simplex; dist_maps: (B, H, W, C) from one_hot2dist.
+    """
+    sel = jnp.asarray(idc)
+    pc = probs[..., sel]
+    dc = dist_maps[..., sel]
+    return jnp.mean(pc * dc)
 
 
 # ---------------------------------------------------------------------------

@@ -129,7 +129,7 @@ class MultiTaskCDNet(BaseSegmentor):
                                                                                      self.num_classes)
         else:
             if self.use_focal:
-                losses['mask_focal_loss'] = alpha * focal_loss(sem_logit, sem_gt, loss_type='softmax')
+                losses['mask_focal_loss'] = alpha * focal_loss(sem_logit, sem_gt, loss_type='softmax', robust=True)
             else:
                 losses['mask_ce_loss'] = alpha * cross_entropy(sem_logit, sem_gt)
             losses['mask_dice_loss'] = beta * batch_multiclass_dice_loss(sem_logit, sem_gt, self.num_classes)
