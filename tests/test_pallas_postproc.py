@@ -58,3 +58,25 @@ def test_instance_postprocess_pallas_matches_exact():
     se, ie = instance_postprocess_device(jnp.asarray(sem), radius=1, num_classes=2, max_instances=256)
     np.testing.assert_array_equal(np.asarray(sp), np.asarray(se))
     np.testing.assert_array_equal(np.asarray(ip), np.asarray(ie))
+
+
+def test_watershed_pallas_matches_device_watershed():
+    import numpy as np
+    from scipy import ndimage
+    from tiseg_tpu.ops.pallas_postproc import watershed_pallas
+    from tiseg_tpu.ops.watershed import watershed as ws_xla
+
+    mask = np.zeros((48, 80), bool)
+    yy, xx = np.ogrid[:48, :80]
+    mask |= (yy - 24)**2 + (xx - 30)**2 <= 144
+    mask |= (yy - 24)**2 + (xx - 52)**2 <= 144
+    dist = ndimage.distance_transform_edt(mask)
+    markers = np.zeros(mask.shape, np.int32)
+    markers[24, 30] = 1
+    markers[24, 52] = 2
+
+    got = np.asarray(watershed_pallas(jnp.asarray(-dist), jnp.asarray(markers), jnp.asarray(mask)))
+    want = np.asarray(ws_xla(jnp.asarray(-dist), jnp.asarray(markers), jnp.asarray(mask)))
+    assert np.all(got[mask] > 0)
+    agree = (got == want) | ~mask
+    assert agree.mean() > 0.98

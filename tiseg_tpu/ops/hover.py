@@ -73,13 +73,30 @@ ELLIPSE5 = tuple((dy, dx) for dy in range(-2, 3) for dx in range(-2, 3)
                  if not (abs(dy) == 2 and abs(dx) == 2))  # cv2 MORPH_ELLIPSE (5,5)
 
 
-@partial(jax.jit, static_argnames=('ksize', 'obj_size', 'rounds', 'num_levels'))
+@partial(jax.jit, static_argnames=('ksize', 'obj_size', 'rounds', 'num_levels', 'use_pallas'))
 def hover_post_proc_device(fore_prob: jnp.ndarray, hv: jnp.ndarray, ksize: int = 21, obj_size: int = 10,
-                           rounds: int = None, num_levels: int = 64) -> jnp.ndarray:
-    """(H, W) foreground prob + (H, W, 2) HV maps -> (H, W) int32 instances."""
+                           rounds: int = None, num_levels: int = 64, use_pallas: bool = True) -> jnp.ndarray:
+    """(H, W) foreground prob + (H, W, 2) HV maps -> (H, W) int32 instances.
+
+    ``use_pallas`` routes the flood steps through the VMEM-resident kernels
+    (tiseg_tpu.ops.pallas_postproc); otherwise the exact fixed-point XLA
+    scan path is used.
+    """
+    if use_pallas:
+        from functools import partial as _p
+        from .pallas_postproc import ccl_pallas, fill_holes_pallas, watershed_pallas
+        cc_fn = _p(ccl_pallas, rounds=rounds or 128)
+        fill_fn = fill_holes_pallas
+        ws_fn = _p(watershed_pallas, num_levels=num_levels)
+    else:
+        from functools import partial as _p
+        cc_fn = _p(connected_components, rounds=rounds)
+        fill_fn = _p(binary_fill_holes, rounds=rounds)
+        ws_fn = _p(watershed, num_levels=num_levels)
+
     H, W = fore_prob.shape
     blb = fore_prob >= 0.5
-    cc = connected_components(blb, connectivity=1, rounds=rounds)
+    cc = cc_fn(blb, connectivity=1)
     sizes = jnp.bincount(cc.reshape(-1), length=H * W + 1)
     blb = blb & (sizes[cc] >= 10)
 
@@ -95,10 +112,10 @@ def hover_post_proc_device(fore_prob: jnp.ndarray, hv: jnp.ndarray, ksize: int =
     dist = -gaussian_blur3((1.0 - overall) * blbf)
 
     marker = blb & ~(overall >= 0.4)
-    marker = binary_fill_holes(marker, rounds=rounds)
+    marker = fill_fn(marker)
     marker = binary_dilation(binary_erosion(marker, ELLIPSE5), ELLIPSE5)  # 5x5 ellipse opening
-    mk = connected_components(marker, connectivity=1, rounds=rounds)
+    mk = cc_fn(marker, connectivity=1)
     mk_sizes = jnp.bincount(mk.reshape(-1), length=H * W + 1)
     mk = jnp.where(mk_sizes[mk] >= obj_size, mk, 0)
 
-    return watershed(dist, mk, mask=blb, connectivity=1, num_levels=num_levels)
+    return ws_fn(dist, mk, mask=blb, connectivity=1)

@@ -35,6 +35,7 @@ def _stencil_kernel(x_ref, o_ref, *, op, fill):
 
 
 def _run(x: jnp.ndarray, op, fill, interpret: bool) -> jnp.ndarray:
+    interpret = interpret or jax.default_backend() != 'tpu'
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]

@@ -21,6 +21,11 @@ EIGHT = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
 FOUR = ((1, 0), (-1, 0), (0, 1), (0, -1))
 
 
+def _interpret() -> bool:
+    """Pallas compiles only on TPU; interpret elsewhere (CPU tests)."""
+    return jax.default_backend() != 'tpu'
+
+
 def _stencil_min(x, neigh, big, H, W):
     padded = jnp.pad(x, ((1, 1), (1, 1)), constant_values=big)
     acc = x
@@ -60,6 +65,7 @@ def ccl_pallas(mask: jnp.ndarray, rounds: int = 64, connectivity: int = 2) -> jn
         grid=(B,),
         in_specs=[pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
     )(mask.astype(jnp.int32))
     return out[0] if squeeze else out
 
@@ -100,9 +106,76 @@ def fill_holes_pallas(mask: jnp.ndarray, rounds: int = None) -> jnp.ndarray:
         grid=(B,),
         in_specs=[pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
     )(mask.astype(jnp.int32))
     out = out[0] if squeeze else out
     return out > 0
+
+
+def _ws_kernel(image_ref, markers_ref, mask_ref, out_ref, *, num_levels, rounds_per_level,
+               cleanup_rounds, connectivity):
+    img = image_ref[0]
+    mk = markers_ref[0]
+    m = mask_ref[0] > 0
+    H, W = img.shape
+    neigh = EIGHT if connectivity == 2 else FOUR
+    big = jnp.int32(jnp.iinfo(jnp.int32).max // 2)
+
+    lo = jnp.min(jnp.where(m, img, jnp.inf))
+    hi = jnp.max(jnp.where(m, img, -jnp.inf))
+    scale = jnp.where(hi > lo, (num_levels - 1) / (hi - lo), 0.0)
+    level_map = jnp.clip(jnp.round((img - lo) * scale).astype(jnp.int32), 0, num_levels - 1)
+
+    labels = jnp.where(m, mk, 0)
+
+    def wave(labels, allowed):
+        val = jnp.where(labels > 0, labels, big)
+        padded = jnp.pad(val, ((1, 1), (1, 1)), constant_values=big)
+        best = big
+        for dy, dx in neigh:
+            best = jnp.minimum(best, padded[1 - dy:1 - dy + H, 1 - dx:1 - dx + W])
+        grow = allowed & (labels == 0) & (best < big)
+        return jnp.where(grow, best, labels)
+
+    def flood(level, labels):
+        allowed = m & (level_map <= level)
+        for _ in range(rounds_per_level):
+            labels = wave(labels, allowed)
+        return labels
+
+    labels = jax.lax.fori_loop(0, num_levels, flood, labels)
+
+    def cleanup(i, labels):
+        return wave(labels, m)
+
+    labels = jax.lax.fori_loop(0, cleanup_rounds, cleanup, labels)
+    out_ref[0] = jnp.where(m, labels, 0)
+
+
+@partial(jax.jit, static_argnames=('connectivity', 'num_levels', 'rounds_per_level', 'cleanup_rounds'))
+def watershed_pallas(image: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray = None,
+                     connectivity: int = 1, num_levels: int = 64, rounds_per_level: int = 4,
+                     cleanup_rounds: int = 64) -> jnp.ndarray:
+    """Marker watershed entirely in VMEM: the full level-flooding loop runs
+    inside one kernel (semantics of tiseg_tpu.ops.watershed, with bounded
+    per-level waves + cleanup instead of per-level fixed points)."""
+    squeeze = image.ndim == 2
+    if squeeze:
+        image, markers = image[None], markers[None]
+        mask = None if mask is None else mask[None]
+    B, H, W = image.shape
+    if mask is None:
+        mask = jnp.ones((B, H, W), bool)
+    out = pl.pallas_call(
+        partial(_ws_kernel, num_levels=num_levels, rounds_per_level=rounds_per_level,
+                cleanup_rounds=cleanup_rounds, connectivity=connectivity),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(image.astype(jnp.float32), markers.astype(jnp.int32), mask.astype(jnp.int32))
+    return out[0] if squeeze else out
 
 
 @partial(jax.jit, static_argnames=('radius', 'min_size', 'num_classes', 'ccl_rounds'))
