@@ -1,0 +1,61 @@
+"""Learning sanity: a few dozen steps on synthetic blobs must push training
+dice up and produce a usable instance segmentation (catches loss-sign and
+target-wiring mistakes that shape-level smoke tests cannot)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiseg_tpu.engine.optim import build_lr_schedule, build_optimizer
+from tiseg_tpu.engine.train_state import TrainState, make_train_step
+from tiseg_tpu.models import build_segmentor
+from tiseg_tpu.utils.metrics import binary_aggregated_jaccard_index
+
+
+def make_batch(rng, n=8, hw=64):
+    imgs = np.zeros((n, hw, hw, 3), np.float32)
+    sem = np.zeros((n, hw, hw), np.int32)
+    yy, xx = np.ogrid[:hw, :hw]
+    for b in range(n):
+        for _ in range(4):
+            cy, cx = rng.integers(8, hw - 8, 2)
+            r = rng.integers(4, 7)
+            mask = (yy - cy)**2 + (xx - cx)**2 <= r * r
+            sem[b][mask] = 1
+            imgs[b][mask] = (0.8, 0.2, 0.2)
+    imgs += rng.normal(0, 0.05, imgs.shape)
+    return imgs.astype(np.float32), sem
+
+
+@pytest.mark.slow
+def test_unet_learns_blobs():
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(),
+                               test_cfg=dict(mode='whole', radius=1)))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    schedule = build_lr_schedule(dict(policy='fixed', warmup=None), 3e-4, 1, 100)
+    tx = build_optimizer(dict(type='Adam', lr=3e-4, weight_decay=1e-5), schedule)
+    state = TrainState.create(variables['params'], variables['batch_stats'], tx)
+    step = make_train_step(seg, mesh=None)
+
+    rng = np.random.default_rng(0)
+    first_dice = None
+    logs = {}
+    for it in range(40):
+        imgs, sem = make_batch(rng)
+        batch = {'data': {'img': jnp.asarray(imgs)},
+                 'label': {'sem_gt_inner': jnp.asarray(sem), 'loss_weight_map': jnp.ones(sem.shape)}}
+        state, logs = step(state, batch)
+        if first_dice is None:
+            first_dice = float(logs['sem_tdice'])
+    final_dice = float(logs['sem_tdice'])
+    assert final_dice > max(first_dice + 10, 60), (first_dice, final_dice)
+
+    # eval on a fresh batch: instances recovered with decent AJI
+    imgs, sem = make_batch(np.random.default_rng(99))
+    fused = jax.jit(seg.inference)({'params': state.params, 'batch_stats': state.batch_stats},
+                                   jnp.asarray(imgs[:1]))
+    pred = seg.postprocess({k: np.asarray(v[0]) for k, v in fused.items()})
+    from tiseg_tpu.utils.morphology import label as cc_label
+    gt_inst = cc_label(sem[0] > 0)
+    aji = binary_aggregated_jaccard_index(pred['inst_pred'], gt_inst)
+    assert aji > 0.5, aji
