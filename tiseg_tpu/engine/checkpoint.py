@@ -11,8 +11,6 @@ import os
 import os.path as osp
 from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -7,7 +7,6 @@ for DDP/NCCL (reference tiseg/apis/train.py:83-97).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax

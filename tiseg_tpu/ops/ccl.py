@@ -13,8 +13,6 @@ reproduces skimage ``measure.label``'s raster-scan numbering exactly.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from .ccl import connected_components
-from .morph import _shift2d, grey_dilation, grey_erosion, square_offsets
+from .morph import _shift2d, grey_erosion, square_offsets
 from .watershed import watershed
 
 SQ3 = square_offsets(3)

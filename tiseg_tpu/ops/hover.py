@@ -10,7 +10,6 @@ flood steps are the scan/wave ops from tiseg_tpu.ops.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -18,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ccl import connected_components
-from .morph import binary_dilation, binary_erosion, binary_fill_holes, disk_offsets
+from .morph import binary_dilation, binary_erosion, binary_fill_holes
 from .watershed import watershed
 
 

@@ -8,9 +8,6 @@ take (H, W) or (B, H, W) arrays and are differentiability-free eval ops.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

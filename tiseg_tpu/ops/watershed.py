@@ -16,7 +16,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .ccl import _min_scan
 from .morph import _shift2d
 
 EIGHT = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
