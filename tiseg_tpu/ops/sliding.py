@@ -129,8 +129,9 @@ def tta_views(test_cfg) -> Sequence[Tuple[int, str]]:
 
 def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """align_corners=False bilinear resize of NHWC (matches the reference's
-    F.interpolate via half-pixel centers; tiseg/utils/interpolate.py:7)."""
+    F.interpolate via half-pixel centers; tiseg/utils/interpolate.py:7).
+    antialias=False: torch's bilinear samples points when downscaling."""
     B, H, W, K = x.shape
     if (H, W) == tuple(out_hw):
         return x
-    return jax.image.resize(x, (B, out_hw[0], out_hw[1], K), method='linear')
+    return jax.image.resize(x, (B, out_hw[0], out_hw[1], K), method='linear', antialias=False)
