@@ -71,3 +71,34 @@ def test_train_eval_e2e(tmp_path):
     records = JsonlLogger(str(tmp_path / 'work' / 'log.jsonl')).read()
     assert any(r['mode'] == 'train' for r in records)
     assert any(r['mode'] == 'val' for r in records)
+
+
+@pytest.mark.slow
+def test_auto_resume(tmp_path):
+    root = str(tmp_path / 'ds')
+    make_mini_dataset(root, n=8, hw=64)
+    base = dict(
+        data=dict(
+            samples_per_gpu=1,
+            workers_per_gpu=0,
+            train=dict(type='MoNuSegDataset', data_root=root, img_dir='images', ann_dir='annotations',
+                       split='train.txt', processes=TRAIN_PROCESSES),
+        ),
+        optimizer=dict(type='Adam', lr=1e-3, weight_decay=0.0),
+        optimizer_config=dict(),
+        lr_config=dict(policy='fixed', warmup=None),
+        evaluation=dict(),
+        checkpoint_config=dict(interval=1, max_keep_ckpts=2),
+        log_config=dict(interval=1, tensorboard=False),
+    )
+    work = str(tmp_path / 'work')
+
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')))
+    cfg1 = Config.fromdict({**base, 'runner': dict(type='EpochBasedRunner', max_epochs=1)})
+    state1 = train_segmentor(seg, build_dataset(cfg1.data['train']), cfg1, validate=False, work_dir=work, seed=0)
+    assert int(state1.step) == 1
+
+    cfg2 = Config.fromdict({**base, 'runner': dict(type='EpochBasedRunner', max_epochs=2), 'auto_resume': True})
+    state2 = train_segmentor(seg, build_dataset(cfg2.data['train']), cfg2, validate=False, work_dir=work, seed=0)
+    # resumed from epoch 1 -> ran exactly one more epoch
+    assert int(state2.step) == 2
