@@ -81,7 +81,8 @@ def hover_post_proc_device(fore_prob: jnp.ndarray, hv: jnp.ndarray, ksize: int =
     (tiseg_tpu.ops.pallas_postproc); otherwise the exact fixed-point XLA
     scan path is used.
     """
-    if use_pallas:
+    from .pallas_postproc import MAX_VMEM_PLANE
+    if use_pallas and fore_prob.shape[0] * fore_prob.shape[1] <= MAX_VMEM_PLANE:
         from functools import partial as _p
         from .pallas_postproc import ccl_pallas, fill_holes_pallas, watershed_pallas
         cc_fn = _p(ccl_pallas, rounds=rounds or 128)

@@ -20,6 +20,10 @@ from jax.experimental.pallas import tpu as pltpu
 EIGHT = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
 FOUR = ((1, 0), (-1, 0), (0, 1), (0, -1))
 
+# planes larger than this don't fit the kernels' VMEM working set (several
+# int32 copies of the plane); callers fall back to the HBM scan path
+MAX_VMEM_PLANE = 512 * 512
+
 
 def _interpret() -> bool:
     """Pallas compiles only on TPU; interpret elsewhere (CPU tests)."""
@@ -206,6 +210,12 @@ def instance_postprocess_pallas(sem_pred: jnp.ndarray, radius: int = 1, min_size
     from .morph import disk_offsets, grey_dilation
 
     H, W = sem_pred.shape
+    if H * W > MAX_VMEM_PLANE:
+        # whole-image eval at e.g. 1000x1000: the plane exceeds the VMEM
+        # working set, use the exact HBM scan path instead
+        from .ccl import instance_postprocess_device
+        return instance_postprocess_device(sem_pred, radius=radius, min_size=min_size,
+                                           num_classes=num_classes, rounds=ccl_rounds)
     inst_out = jnp.zeros((H, W), jnp.int32)
     sem_out = jnp.zeros((H, W), jnp.uint8)
     offs = disk_offsets(radius)
