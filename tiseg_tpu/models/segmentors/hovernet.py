@@ -166,6 +166,22 @@ class HoverNet(BaseSegmentor):
             fused = {k: resize_bilinear(v, ori_hw) for k, v in fused.items()}
         return fused
 
+    def inference_and_postprocess(self, variables, img, ori_hw=None):
+        """Fused device eval: inference + HoVer instance recovery in one
+        jit (Pallas flood kernels where the plane fits VMEM)."""
+        if not self.test_cfg.get('device_postprocess', False) or self.test_cfg.get('scale_factor', 1) != 1:
+            return None
+        import jax
+        from ...ops.hover import hover_post_proc_device
+
+        fused = self.inference(variables, img, ori_hw=ori_hw)
+        sem_pred = jnp.argmax(fused['sem'], axis=-1).astype(jnp.uint8)
+        inst = jax.vmap(lambda f, h: hover_post_proc_device(f, h, rounds=self.test_cfg.get('pp_rounds')))(
+            fused['fore'][..., 1], fused['hv'])
+        return {'sem_pred': sem_pred, 'inst_pred': inst}
+
+    device_pp_supported = True  # via the override above
+
     def postprocess(self, fused):
         sem_pred = np.argmax(np.asarray(fused['sem']), axis=-1).astype(np.uint8)
         hv_pred = np.asarray(fused['hv'])
