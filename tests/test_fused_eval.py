@@ -43,3 +43,17 @@ def test_fused_disabled_returns_none():
     seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')))
     variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
     assert seg.inference_and_postprocess(variables, jnp.zeros((1, 64, 64, 3))) is None
+
+
+def test_hovernet_fused_eval_runs():
+    seg = build_segmentor(dict(type='HoverNet', num_classes=3, train_cfg=dict(),
+                               test_cfg=dict(mode='whole', device_postprocess=True)))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)) * 0.1
+    out = seg.inference_and_postprocess(variables, img)
+    assert out is not None
+    assert out['sem_pred'].shape == (1, 64, 64)
+    assert out['inst_pred'].dtype == jnp.int32
+    # scale_factor != 1 falls back to the host path
+    seg.test_cfg['scale_factor'] = 2
+    assert seg.inference_and_postprocess(variables, img) is None
