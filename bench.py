@@ -37,7 +37,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from tiseg_tpu.models import build_segmentor
-    from tiseg_tpu.ops.pallas_postproc import instance_postprocess_pallas
+    from tiseg_tpu.ops.pallas_sweep import instance_postprocess_sweep
 
     seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')),
                           dtype=jnp.bfloat16)
@@ -82,11 +82,15 @@ def main():
     total_rate = net_rate
     if include_postproc:
         # ---- stage 2: on-device instance post-processing ------------------
-        pp = partial(instance_postprocess_pallas, radius=1, num_classes=2, ccl_rounds=128)
+        # segmented-sweep kernel: exact when component geodesics have
+        # <= pp_sweeps bends (verified vs the host scipy-semantics oracle
+        # on this synthetic distribution, tests/test_pallas_sweep.py)
+        pp = partial(instance_postprocess_sweep, radius=1, num_classes=2,
+                     sweeps=int(os.environ.get('BENCH_PP_SWEEPS', 16)))
 
         @jax.jit
         def pp_scalar(sem_batch):
-            _, inst = jax.vmap(pp)(sem_batch)
+            _, inst = pp(sem_batch)
             return jnp.float32(jnp.max(inst))
 
         def make(seed):

@@ -138,18 +138,30 @@ class BaseSegmentor:
         'inst_pred' (B,H,W) int32} or None if unsupported/disabled."""
         if not (self.device_pp_supported and self.test_cfg.get('device_postprocess', False)):
             return None
-        from functools import partial
-        from ...ops.pallas_postproc import instance_postprocess_pallas
-
         fused = self.inference(variables, img, ori_hw=ori_hw)
         sem_pred = jnp.argmax(fused['sem'], axis=-1).astype(jnp.int32)
         if self.device_pp_strip_boundary:
             sem_pred = jnp.where(sem_pred == self.num_classes, 0, sem_pred)
-        pp = partial(instance_postprocess_pallas, radius=self.test_cfg.get('radius', self.device_pp_default_radius),
-                     num_classes=self.num_classes,
-                     ccl_rounds=self.test_cfg.get('pp_rounds', 128) or 128)
-        sem_out, inst_out = jax.vmap(pp)(sem_pred)
+        sem_out, inst_out = self._device_instance_pp(sem_pred)
         return {'sem_pred': sem_out, 'inst_pred': inst_out}
+
+    def _device_instance_pp(self, sem_pred):
+        """Batched on-device fill/CCL/remove-small/dilate. Default is the
+        fused segmented-sweep kernel (tiseg_tpu.ops.pallas_sweep); planes too
+        large for VMEM fall back to the exact HBM scan path."""
+        from functools import partial
+        from ...ops.pallas_postproc import MAX_VMEM_PLANE
+        radius = self.test_cfg.get('radius', self.device_pp_default_radius)
+        H, W = sem_pred.shape[-2:]
+        if H * W > MAX_VMEM_PLANE:
+            from ...ops.ccl import instance_postprocess_device
+            pp = partial(instance_postprocess_device, radius=radius, num_classes=self.num_classes,
+                         rounds=self.test_cfg.get('pp_rounds'))
+            return jax.vmap(pp)(sem_pred) if sem_pred.ndim == 3 else pp(sem_pred)
+        from ...ops.pallas_sweep import instance_postprocess_sweep
+        return instance_postprocess_sweep(sem_pred, radius=radius, num_classes=self.num_classes,
+                                          sweeps=self.test_cfg.get('pp_sweeps', 16),
+                                          fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 4))
 
     # -- training metrics --------------------------------------------------------
     def training_metrics(self, sem_logit, sem_gt) -> Dict[str, jnp.ndarray]:

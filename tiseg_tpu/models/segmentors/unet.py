@@ -86,19 +86,23 @@ class UNet(BaseSegmentor):
         mode = self.test_cfg.get('device_postprocess', False)
         if mode:
             # TPU path: fill holes / CCL / dilation on device. 'xla' selects
-            # the exact fixed-point scan path; default is the VMEM-resident
-            # Pallas kernels (exact up to component diameter ccl_rounds).
+            # the exact fixed-point scan path; 'pallas-rounds' the round-1
+            # per-pixel propagation kernels; default is the fused
+            # segmented-sweep kernel (exact when component geodesics have
+            # <= pp_sweeps bends).
             import jax.numpy as jnp
             if mode == 'xla':
                 from ...ops.ccl import instance_postprocess_device
                 sem, inst = instance_postprocess_device(jnp.asarray(sem_pred.astype(np.int32)), radius=radius,
                                                         num_classes=self.num_classes,
                                                         rounds=self.test_cfg.get('pp_rounds'))
-            else:
+            elif mode == 'pallas-rounds':
                 from ...ops.pallas_postproc import instance_postprocess_pallas
                 sem, inst = instance_postprocess_pallas(jnp.asarray(sem_pred.astype(np.int32)), radius=radius,
                                                         num_classes=self.num_classes,
                                                         ccl_rounds=self.test_cfg.get('pp_rounds', 128) or 128)
+            else:
+                sem, inst = self._device_instance_pp(jnp.asarray(sem_pred.astype(np.int32)))
             return {'sem_pred': np.asarray(sem), 'inst_pred': np.asarray(inst)}
         sem, inst = instance_postprocess(sem_pred.astype(np.uint8), radius=radius)
         return {'sem_pred': sem, 'inst_pred': inst}

@@ -1,0 +1,272 @@
+"""Segmented row/column-sweep Pallas kernels for instance post-processing.
+
+The round-1 kernels (tiseg_tpu.ops.pallas_postproc) propagate labels one
+pixel per round: fill-holes needs H+W rounds and CCL ``ccl_rounds`` (128)
+rounds, which dominated end-to-end eval time. These kernels replace
+per-pixel rounds with **segmented scans**: one sweep propagates min-labels
+across an entire contiguous run of a row (or column) in O(log W) vector
+steps (log-doubling guarded by run lengths), so one row+column sweep
+iteration covers arbitrary straight-line distance. Convergence needs one
+iteration per *bend* of a component's geodesic — a handful for nuclei and
+even large snaky glands — instead of one round per *pixel* of its
+diameter. Everything (fill holes -> 4-conn CCL -> remove-small -> 8-conn
+CCL -> disk dilation, per class) runs in ONE kernel per image, entirely in
+VMEM.
+
+Reference semantics: tiseg/models/segmentors/unet.py:71-93 (fill_holes,
+remove_small_objects(5) [4-conn], measure.label [8-conn], dilation(disk)).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != 'tpu'
+
+
+def _log2_steps(n: int):
+    """Powers of two < n: the jump schedule for log-doubling."""
+    steps, c = [], 1
+    while c < n:
+        steps.append(c)
+        c *= 2
+    return steps
+
+
+def _shift(x, k: int, axis: int, fill):
+    """x shifted so result[i] = x[i-k] (k may be negative), edges filled."""
+    n = x.shape[axis]
+    if _interpret():
+        y = jnp.roll(x, k, axis=axis)
+    else:
+        y = pltpu.roll(x, k % n, axis=axis)  # mosaic roll needs shift >= 0
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    if k >= 0:
+        return jnp.where(idx < k, fill, y)
+    return jnp.where(idx >= n + k, fill, y)
+
+
+def _runlen(mask_i32, axis: int, backward: bool = False):
+    """L[i] = number of consecutive true pixels ending at i along axis
+    (starting at i, if backward), capped at the axis length."""
+    n = mask_i32.shape[axis]
+    L = mask_i32
+    for c in _log2_steps(n):
+        Ls = _shift(L, -c if backward else c, axis, jnp.int32(0))
+        L = L + jnp.where(L == c, Ls, 0)
+    return L
+
+
+def _seg_run_min(v, L_fwd, L_bwd, axis: int, big):
+    """Min over each contiguous run (segmented total min) along axis.
+
+    Two guarded log-doubling passes: a forward prefix-min (window growth
+    stays inside the run because every contribution was itself guarded),
+    then a backward pass over the prefix results spreads the run minimum
+    to every member.
+    """
+    n = v.shape[axis]
+    for c in _log2_steps(n):
+        vs = _shift(v, c, axis, big)
+        v = jnp.where(L_fwd > c, jnp.minimum(v, vs), v)
+    for c in _log2_steps(n):
+        vs = _shift(v, -c, axis, big)
+        v = jnp.where(L_bwd > c, jnp.minimum(v, vs), v)
+    return v
+
+
+def _shift2d(x, dy: int, dx: int, fill):
+    y = x
+    if dy:
+        y = _shift(y, dy, 0, fill)
+    if dx:
+        y = _shift(y, dx, 1, fill)
+    return y
+
+
+_DIAGS = ((1, 1), (1, -1), (-1, 1), (-1, -1))
+
+
+def _ccl_in_kernel(mask, sweeps: int, connectivity: int):
+    """Min-index connected-component labels of a boolean (H, W) plane.
+
+    Exact when ``sweeps`` >= the number of row/col direction changes (plus
+    diagonal links for connectivity=2) on some minimal path from each
+    pixel to its component's min-index pixel.
+    """
+    H, W = mask.shape
+    big = jnp.int32(H * W + 2)
+    m32 = mask.astype(jnp.int32)
+    Lr_f = _runlen(m32, 1)
+    Lr_b = _runlen(m32, 1, backward=True)
+    Lc_f = _runlen(m32, 0)
+    Lc_b = _runlen(m32, 0, backward=True)
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W +
+           jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) + 1)
+    labels = jnp.where(mask, idx, big)
+
+    def body(_, labels):
+        labels = _seg_run_min(labels, Lr_f, Lr_b, 1, big)
+        labels = _seg_run_min(labels, Lc_f, Lc_b, 0, big)
+        if connectivity == 2:
+            acc = labels
+            for dy, dx in _DIAGS:
+                acc = jnp.minimum(acc, _shift2d(labels, dy, dx, big))
+            labels = jnp.where(mask, acc, big)
+        return labels
+
+    labels = jax.lax.fori_loop(0, sweeps, body, labels)
+    return jnp.where(mask, labels, 0)
+
+
+def _fill_holes_in_kernel(mask, sweeps: int):
+    """Fill background regions not connected (4-conn) to the border."""
+    H, W = mask.shape
+    big = jnp.int32(H * W + 2)
+    bg = ~mask
+    b32 = bg.astype(jnp.int32)
+    Lr_f = _runlen(b32, 1)
+    Lr_b = _runlen(b32, 1, backward=True)
+    Lc_f = _runlen(b32, 0)
+    Lc_b = _runlen(b32, 0, backward=True)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    border = (ri == 0) | (ri == H - 1) | (ci == 0) | (ci == W - 1)
+    v = jnp.where(bg & border, jnp.int32(0), big)
+
+    def body(_, v):
+        v = _seg_run_min(v, Lr_f, Lr_b, 1, big)
+        return _seg_run_min(v, Lc_f, Lc_b, 0, big)
+
+    v = jax.lax.fori_loop(0, sweeps, body, v)
+    return mask | (bg & (v >= big))
+
+
+def _big_component_mask_in_kernel(labels, min_size: int):
+    """True where the pixel's 4-conn component has >= min_size pixels: a
+    component of n < min_size pixels lies entirely within L-inf radius
+    (min_size-1) of each member, so an exact same-label count in that
+    window decides keep/drop (see pallas_postproc._small_component_mask)."""
+    r = min_size - 1
+    fg = labels > 0
+    cnt = fg.astype(jnp.int32)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            cnt = cnt + (fg & (labels == _shift2d(labels, dy, dx, jnp.int32(0)))).astype(jnp.int32)
+    return cnt >= min_size
+
+
+def _disk_offsets(radius: int):
+    offs = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy * dy + dx * dx <= radius * radius and (dy or dx):
+                offs.append((dy, dx))
+    return tuple(offs)
+
+
+def _fused_pp_kernel(sem_ref, sem_out_ref, inst_out_ref, *, num_classes, radius, min_size,
+                     sweeps, fill_sweeps):
+    sem = sem_ref[0]
+    H, W = sem.shape
+    inst_out = jnp.zeros((H, W), jnp.int32)
+    sem_out = jnp.zeros((H, W), jnp.int32)
+    offs = _disk_offsets(radius)
+    for sem_id in range(1, num_classes):
+        mask = sem == sem_id
+        mask = _fill_holes_in_kernel(mask, fill_sweeps)
+        cc4 = _ccl_in_kernel(mask, sweeps, connectivity=1)
+        mask = mask & _big_component_mask_in_kernel(cc4, min_size)
+        inst0 = _ccl_in_kernel(mask, sweeps, connectivity=2)
+        inst = inst0
+        for dy, dx in offs:
+            inst = jnp.maximum(inst, _shift2d(inst0, dy, dx, jnp.int32(0)))
+        inst_shifted = jnp.where(inst > 0, inst + (sem_id - 1) * H * W, 0)
+        inst_out = jnp.where(inst_shifted > 0, inst_shifted, inst_out)
+        sem_out = jnp.where(inst_shifted > 0, jnp.int32(sem_id), sem_out)
+    sem_out_ref[0] = sem_out
+    inst_out_ref[0] = inst_out
+
+
+@partial(jax.jit, static_argnames=('radius', 'min_size', 'num_classes', 'sweeps', 'fill_sweeps'))
+def instance_postprocess_sweep(sem_pred: jnp.ndarray, radius: int = 1, min_size: int = 5,
+                               num_classes: int = 2, sweeps: int = 8, fill_sweeps: int = 4):
+    """UNet-family instance recovery, one fused sweep kernel per image.
+
+    Semantics match tiseg_tpu.ops.ccl.instance_postprocess_device (and the
+    reference's scipy/skimage pipeline, unet.py:71-93). Exact when every
+    component geodesic has <= ``sweeps`` bends/diagonal links and every
+    background hole path to the border has <= ``fill_sweeps`` bends.
+    Returns (sem uint8, inst int32); accepts (H, W) or (B, H, W).
+    """
+    squeeze = sem_pred.ndim == 2
+    if squeeze:
+        sem_pred = sem_pred[None]
+    B, H, W = sem_pred.shape
+    sem_out, inst_out = pl.pallas_call(
+        partial(_fused_pp_kernel, num_classes=num_classes, radius=radius, min_size=min_size,
+                sweeps=sweeps, fill_sweeps=fill_sweeps),
+        out_shape=(jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+                   jax.ShapeDtypeStruct((B, H, W), jnp.int32)),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)),
+        interpret=_interpret(),
+    )(sem_pred.astype(jnp.int32))
+    sem_out = sem_out.astype(jnp.uint8)
+    if squeeze:
+        return sem_out[0], inst_out[0]
+    return sem_out, inst_out
+
+
+@partial(jax.jit, static_argnames=('connectivity', 'sweeps'))
+def ccl_sweep(mask: jnp.ndarray, connectivity: int = 2, sweeps: int = 8) -> jnp.ndarray:
+    """Standalone segmented-sweep CCL (min-index labels)."""
+    squeeze = mask.ndim == 2
+    if squeeze:
+        mask = mask[None]
+    B, H, W = mask.shape
+
+    def kern(m_ref, out_ref):
+        out_ref[0] = _ccl_in_kernel(m_ref[0] > 0, sweeps, connectivity)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(mask.astype(jnp.int32))
+    return out[0] if squeeze else out
+
+
+@partial(jax.jit, static_argnames=('sweeps',))
+def fill_holes_sweep(mask: jnp.ndarray, sweeps: int = 4) -> jnp.ndarray:
+    """Standalone segmented-sweep hole filling."""
+    squeeze = mask.ndim == 2
+    if squeeze:
+        mask = mask[None]
+    B, H, W = mask.shape
+
+    def kern(m_ref, out_ref):
+        out_ref[0] = _fill_holes_in_kernel(m_ref[0] > 0, sweeps).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(mask.astype(jnp.int32))
+    return (out[0] if squeeze else out) > 0
