@@ -59,7 +59,12 @@ class BaseSegmentor:
         return variables
 
     # -- forward ------------------------------------------------------------
-    def forward_heads(self, variables, img, train: bool = False, rng=None, mutable=False):
+    def prepare_inference(self, variables):
+        """Optional precomputation shared across eval forwards (e.g. folded
+        fast-path weights). Passed back to forward_heads as ``prep``."""
+        return None
+
+    def forward_heads(self, variables, img, train: bool = False, rng=None, mutable=False, prep=None):
         """Apply the net. When training with mutable=True returns
         (heads, new_model_state)."""
         if train:
@@ -99,9 +104,10 @@ class BaseSegmentor:
         mode = self.test_cfg.get('mode', 'whole')
         assert mode in ('split', 'whole')
         views = tta_views(self.test_cfg)
+        prep = self.prepare_inference(variables)
 
         def calc(patch):
-            return self.forward_heads(variables, patch, train=False)
+            return self.forward_heads(variables, patch, train=False, prep=prep)
 
         accum = None
         for rot, flip in views:

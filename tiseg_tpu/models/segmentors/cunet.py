@@ -17,7 +17,7 @@ from ..builder import SEGMENTORS
 from ..heads.unet_head import UNetHead
 from ..losses import batch_multiclass_dice_loss, cross_entropy
 from .base import BaseSegmentor, parse_losses
-from .unet import instance_postprocess
+from .unet import FastVGGUNetEval, instance_postprocess
 
 
 class CUNetNet(nn.Module):
@@ -34,7 +34,7 @@ class CUNetNet(nn.Module):
 
 
 @SEGMENTORS.register_module()
-class CUNet(BaseSegmentor):
+class CUNet(FastVGGUNetEval, BaseSegmentor):
 
     device_pp_supported = True
     device_pp_strip_boundary = True

@@ -56,8 +56,48 @@ def instance_postprocess(sem_pred: np.ndarray, radius: int = 1, min_size: int = 
     return out_sem, inst_pred
 
 
+class FastVGGUNetEval:
+    """Mixin: phase-space fast eval forward for VGG16BN + UNetHead nets
+    (tiseg_tpu.models.heads.fast_decode). Exact rewrite of the flax eval
+    path with BN folded; used automatically when test_cfg['fast_eval']
+    (default on) and the input is /4-divisible."""
+
+    def _fast_eval_ok(self, hw) -> bool:
+        return hw[0] % 4 == 0 and hw[1] % 4 == 0
+
+    def _fast_eval_enabled(self) -> bool:
+        return self.test_cfg.get('fast_eval', True)
+
+    def prepare_inference(self, variables):
+        """Fold BN + build phase-space weights once per eval program (the
+        scatter is ~100 small ops; rebuilding it inside a TTA/patch loop
+        would repeat per call)."""
+        if not self._fast_eval_enabled():
+            return None
+        from ..heads.fast_decode import build_fast_unet_head_params, build_fast_vgg16_params
+        dtype = self.net.dtype
+        return {
+            'vgg': build_fast_vgg16_params(variables['params']['backbone'],
+                                           variables['batch_stats']['backbone'], dtype=dtype),
+            'head': build_fast_unet_head_params(variables['params']['head'],
+                                                variables['batch_stats']['head'], dtype=dtype),
+        }
+
+    def forward_heads(self, variables, img, train: bool = False, rng=None, mutable=False, prep=None):
+        if (train or mutable or not self._fast_eval_enabled()
+                or not self._fast_eval_ok(img.shape[1:3])):
+            return super().forward_heads(variables, img, train=train, rng=rng, mutable=mutable)
+        from ..heads.fast_decode import apply_fast_unet_head, apply_fast_vgg16
+        dtype = self.net.dtype
+        if prep is None:
+            prep = self.prepare_inference(variables)
+        feats = apply_fast_vgg16(prep['vgg'], img, dtype=dtype)
+        sem = apply_fast_unet_head(prep['head'], feats[-1], feats[:-1], dtype=dtype)
+        return {'sem': sem}
+
+
 @SEGMENTORS.register_module()
-class UNet(BaseSegmentor):
+class UNet(FastVGGUNetEval, BaseSegmentor):
 
     device_pp_supported = True
 
