@@ -38,3 +38,90 @@ def test_vgg16_port_shapes_and_values():
     import jax.numpy as jnp
     heads = seg.forward_heads({'params': params, 'batch_stats': stats}, jnp.zeros((1, 64, 64, 3)))
     assert np.isfinite(np.asarray(heads['sem'])).all()
+
+
+def test_vgg16_port_feature_parity_vs_torchvision_arch():
+    """Real-weight validation (SURVEY §7 risk #4): a torchvision-layout
+    vgg16_bn state dict WITH conv biases ported into the Flax backbone must
+    reproduce every pyramid level of the torch forward (the biases fold
+    into the BN means)."""
+    import jax.numpy as jnp
+    from reference_compat import _vgg16_bn
+    from tiseg_tpu.models.backbones.vgg import VGG16BN
+
+    tv = _vgg16_bn()
+    tv.eval()
+    g = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for m in tv.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.rand(m.weight.shape, generator=g) * 0.5 + 0.75)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.2)
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.05)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) * 0.3 + 0.85)
+
+    bb = VGG16BN()
+    v = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    out = load_torchvision_vgg({'backbone': v['params']}, {'backbone': v['batch_stats']},
+                               state_dict=tv.state_dict())
+    assert out is not None
+    params, stats = out
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    got = bb.apply({'params': params['backbone'], 'batch_stats': stats['backbone']},
+                   jnp.asarray(x), train=False)
+    # torch forward, tapping the reference's stage boundaries
+    taps = (5, 12, 22, 32, 42, 43)
+    feats, t = [], torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        for i, mod in enumerate(tv.features):
+            t = mod(t)
+            if i in taps:
+                feats.append(t.numpy().transpose(0, 2, 3, 1))
+    for i, (gg, ww) in enumerate(zip(got, feats)):
+        err = float(np.abs(np.asarray(gg) - ww).max())
+        assert err < 2e-4 * max(float(np.abs(ww).max()), 1.0), f'stage {i}: {err}'
+
+
+def test_resnet50_port_feature_parity_vs_torchvision_arch():
+    """torchvision-layout resnet50 state dict ported into the Flax
+    TorchResNet must reproduce all four stage outputs (reference analog:
+    torch_resnet.py pretrained=True)."""
+    import jax.numpy as jnp
+    from reference_compat import Bottleneck as TVBottleneck, ResNet as TVResNet
+    from tiseg_tpu.models.backbones.resnet import ResNet as FlaxResNet
+    from tiseg_tpu.models.backbones.torch_port import load_torchvision_resnet
+
+    tv = TVResNet(TVBottleneck, [3, 4, 6, 3])
+    tv.eval()
+    g = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for m in tv.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.rand(m.weight.shape, generator=g) * 0.5 + 0.75)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.2)
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.05)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) * 0.3 + 0.85)
+
+    bb = FlaxResNet(depth=50)
+    v = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    out = load_torchvision_resnet({'backbone': v['params']}, {'backbone': v['batch_stats']},
+                                  depth=50, state_dict=tv.state_dict())
+    assert out is not None
+    params, stats = out
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    got = bb.apply({'params': params['backbone'], 'batch_stats': stats['backbone']},
+                   jnp.asarray(x), train=False)
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        t = tv.maxpool(tv.relu(tv.bn1(tv.conv1(t))))
+        feats = []
+        for layer in (tv.layer1, tv.layer2, tv.layer3, tv.layer4):
+            t = layer(t)
+            feats.append(t.numpy().transpose(0, 2, 3, 1))
+    for i, (gg, ww) in enumerate(zip(got, feats)):
+        err = float(np.abs(np.asarray(gg) - ww).max())
+        assert err < 2e-4 * max(float(np.abs(ww).max()), 1.0), f'layer{i + 1}: {err}'

@@ -37,10 +37,11 @@ class BasicBlock(nn.Module):
                                 axis_name=self.axis_name if train else None, name=name)
 
         residual = x
-        y = nn.Conv(self.features, (3, 3), self.strides, padding='SAME', use_bias=False,
+        pad = ((self.dilation, self.dilation),) * 2  # torch pad=dilation; 'SAME' differs at stride 2
+        y = nn.Conv(self.features, (3, 3), self.strides, padding=pad, use_bias=False,
                     kernel_dilation=(self.dilation, self.dilation), dtype=self.dtype, name='conv1')(x)
         y = nn.relu(bn('bn1')(y))
-        y = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False,
+        y = nn.Conv(self.features, (3, 3), padding=pad, use_bias=False,
                     kernel_dilation=(self.dilation, self.dilation), dtype=self.dtype, name='conv2')(y)
         y = bn('bn2')(y)
         if residual.shape != y.shape:
@@ -66,7 +67,8 @@ class Bottleneck(nn.Module):
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name='conv1')(x)
         y = nn.relu(bn('bn1')(y))
-        y = nn.Conv(self.features, (3, 3), self.strides, padding='SAME', use_bias=False,
+        pad = ((self.dilation, self.dilation),) * 2  # torch pad=dilation; 'SAME' differs at stride 2
+        y = nn.Conv(self.features, (3, 3), self.strides, padding=pad, use_bias=False,
                     kernel_dilation=(self.dilation, self.dilation), dtype=self.dtype, name='conv2')(y)
         y = nn.relu(bn('bn2')(y))
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype, name='conv3')(y)
@@ -94,13 +96,13 @@ class ResNet(nn.Module):
         block_type, layers = DEPTH_PLAN[self.depth]
         Block = Bottleneck if block_type == 'bottleneck' else BasicBlock
 
-        x = nn.Conv(64, (7, 7), (self.stem_stride, self.stem_stride), padding='SAME', use_bias=False,
-                    dtype=self.dtype, name='stem_conv')(x)
+        x = nn.Conv(64, (7, 7), (self.stem_stride, self.stem_stride), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name='stem_conv')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          axis_name=self.axis_name if train else None, name='stem_bn')(x)
         x = nn.relu(x)
         if self.stem_pool:
-            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding='SAME')
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         outs = []
         for si in range(4):
