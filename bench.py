@@ -135,5 +135,60 @@ def main():
     }))
 
 
+def bench_fused_model(typ: str, B: int = 16, iters: int = 8):
+    """Fully-fused eval chain (inference + device post-processing in one jit
+    program) for the heavier zoo members; used by BENCH_MODELS=all runs and
+    docs, not the driver's single-line contract."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tiseg_tpu.models import build_segmentor
+
+    test_cfg = dict(mode='whole', device_postprocess=True, pp_sweeps=8, radius=1)
+    seg = build_segmentor(dict(type=typ, num_classes=2, train_cfg=dict(), test_cfg=test_cfg),
+                          dtype=jnp.bfloat16)
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(B, 256, 256, 3)).astype(np.float32)) * 0.2
+
+    @jax.jit
+    def trivial(x):
+        return jnp.float32(x[0, 0, 0, 0])
+
+    float(trivial(img))
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(img))
+        lat.append(time.perf_counter() - t0)
+    rpc = sorted(lat)[len(lat) // 2]
+
+    @jax.jit
+    def chain(variables, img):
+        def body(i, carry):
+            out = seg.inference_and_postprocess(variables, img + carry * 1e-12)
+            return jnp.float32(jnp.max(out['inst_pred']))
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(chain(variables, img))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(variables, img))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    rate = B * iters / max(best - rpc, 1e-9)
+    print(json.dumps({'metric': f'{typ.lower()}_256x256_fused_e2e_throughput',
+                      'value': round(rate, 1), 'unit': 'patches/sec/chip',
+                      'vs_baseline': round(rate / BASELINE_PATCHES_PER_SEC, 3)}))
+    return rate
+
+
 if __name__ == '__main__':
-    main()
+    models = os.environ.get('BENCH_MODELS', '')
+    if models:
+        names = ['UNet', 'CDNet', 'HoverNet'] if models == 'all' else models.split(',')
+        for name in names:
+            bench_fused_model(name)
+    else:
+        main()

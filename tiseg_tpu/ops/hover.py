@@ -82,11 +82,16 @@ def hover_post_proc_device(fore_prob: jnp.ndarray, hv: jnp.ndarray, ksize: int =
     scan path is used.
     """
     from .pallas_postproc import MAX_VMEM_PLANE
-    if use_pallas and fore_prob.shape[0] * fore_prob.shape[1] <= MAX_VMEM_PLANE:
+    sweep_ok = use_pallas and fore_prob.shape[0] * fore_prob.shape[1] <= MAX_VMEM_PLANE
+    if sweep_ok:
+        # segmented-sweep kernels: CCL+size-filter fused in VMEM (no
+        # (H*W+1)-bin bincount), flood-fill in bend-count iterations
         from functools import partial as _p
-        from .pallas_postproc import ccl_pallas, fill_holes_pallas, watershed_pallas
-        cc_fn = _p(ccl_pallas, rounds=rounds or 128)
-        fill_fn = fill_holes_pallas
+        from .pallas_sweep import ccl_filter_sweep, fill_holes_sweep
+        from .pallas_postproc import watershed_pallas
+        sweeps = max(4, (rounds or 128) // 16)
+        size_filter = _p(ccl_filter_sweep, sweeps=sweeps, connectivity=1)
+        fill_fn = _p(fill_holes_sweep, sweeps=max(4, sweeps // 2))
         ws_fn = _p(watershed_pallas, num_levels=num_levels)
     else:
         from functools import partial as _p
@@ -96,9 +101,12 @@ def hover_post_proc_device(fore_prob: jnp.ndarray, hv: jnp.ndarray, ksize: int =
 
     H, W = fore_prob.shape
     blb = fore_prob >= 0.5
-    cc = cc_fn(blb, connectivity=1)
-    sizes = jnp.bincount(cc.reshape(-1), length=H * W + 1)
-    blb = blb & (sizes[cc] >= 10)
+    if sweep_ok:
+        blb = size_filter(blb, min_size=10) > 0
+    else:
+        cc = cc_fn(blb, connectivity=1)
+        sizes = jnp.bincount(cc.reshape(-1), length=H * W + 1)
+        blb = blb & (sizes[cc] >= 10)
 
     h_dir = _minmax_norm(hv[..., 0])
     v_dir = _minmax_norm(hv[..., 1])
@@ -114,8 +122,11 @@ def hover_post_proc_device(fore_prob: jnp.ndarray, hv: jnp.ndarray, ksize: int =
     marker = blb & ~(overall >= 0.4)
     marker = fill_fn(marker)
     marker = binary_dilation(binary_erosion(marker, ELLIPSE5), ELLIPSE5)  # 5x5 ellipse opening
-    mk = cc_fn(marker, connectivity=1)
-    mk_sizes = jnp.bincount(mk.reshape(-1), length=H * W + 1)
-    mk = jnp.where(mk_sizes[mk] >= obj_size, mk, 0)
+    if sweep_ok:
+        mk = size_filter(marker, min_size=obj_size)
+    else:
+        mk = cc_fn(marker, connectivity=1)
+        mk_sizes = jnp.bincount(mk.reshape(-1), length=H * W + 1)
+        mk = jnp.where(mk_sizes[mk] >= obj_size, mk, 0)
 
     return ws_fn(dist, mk, mask=blb, connectivity=1)
