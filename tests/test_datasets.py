@@ -117,3 +117,27 @@ def test_conic_classwise(mini_ds, tmp_path):
         results.extend(ds.pre_eval({'sem_pred': sem_gt, 'inst_pred': cc_label(inst_gt)}, i))
     eval_results, _ = ds.evaluate(results)
     assert eval_results['mAji'] == pytest.approx(100.0)
+
+
+def test_pre_eval_device_matches_host_tables(mini_ds):
+    """dataset.pre_eval_device must reduce (via evaluate) to the same
+    tables as the host numpy pre_eval for imperfect predictions."""
+    cfg = dict(type='MoNuSegDataset', data_root=mini_ds, img_dir='images', ann_dir='annotations',
+               split='train.txt', processes=PROCESSES, test_mode=True)
+    ds = build_dataset(cfg)
+    host, dev = [], []
+    rng = np.random.default_rng(0)
+    for i in range(len(ds)):
+        inst_gt = np.load(ds.data_infos[i]['inst_file_name'])
+        sem_gt = np.array(Image.open(ds.data_infos[i]['sem_file_name']))
+        # imperfect pred: shift GT by a pixel + drop one instance
+        inst_pred = np.roll(cc_label(inst_gt), 1, axis=0)
+        if inst_pred.max() > 1:
+            inst_pred[inst_pred == 1] = 0
+        pred = {'sem_pred': (inst_pred > 0).astype(np.uint8), 'inst_pred': inst_pred}
+        host.extend(ds.pre_eval(dict(pred), i))
+        dev.extend(ds.pre_eval_device(dict(pred), i))
+    eh, _ = ds.evaluate(host)
+    ed, _ = ds.evaluate(dev)
+    for k in eh:
+        assert eh[k] == pytest.approx(ed[k], abs=0.02), (k, eh[k], ed[k])

@@ -47,3 +47,43 @@ def test_sem_confusion_device():
     host = pre_eval_all_semantic_metric(pred, gt, 3, reduce_zero_label=False)
     for d, h in zip(dev, host):
         np.testing.assert_allclose(np.asarray(d), h)
+
+
+def test_pre_eval_all_device_matches_host_package():
+    """The fused on-device pre-eval (relabel + confusion + AJI + PQ) must
+    produce the same per-image package as CustomDataset.pre_eval's host
+    numpy path, including for non-contiguous (min-index) labels."""
+    import jax.numpy as jnp
+    from tiseg_tpu.ops.inst_metrics_jax import pre_eval_all_device
+    from tiseg_tpu.utils.metrics.inst_metrics import pre_eval_bin_aji, pre_eval_bin_pq
+    from tiseg_tpu.utils.metrics.sem_metrics import pre_eval_all_semantic_metric
+    from tiseg_tpu.datasets.utils import re_instance
+
+    rng = np.random.default_rng(0)
+    hw = 96
+    inst_gt = np.zeros((hw, hw), np.int32)
+    inst_pred = np.zeros((hw, hw), np.int32)
+    yy, xx = np.ogrid[:hw, :hw]
+    for k in range(30):
+        cy, cx = rng.integers(6, hw - 6, 2)
+        r = rng.integers(2, 6)
+        m = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        inst_gt[m] = k + 1
+        jy, jx = rng.integers(-2, 3, 2)
+        m2 = (yy - cy - jy) ** 2 + (xx - cx - jx) ** 2 <= r * r
+        # non-contiguous, min-index-style pred labels
+        inst_pred[m2] = cy * hw + cx + 1
+    sem_gt = (inst_gt > 0).astype(np.int32)
+    sem_pred = (inst_pred > 0).astype(np.int32)
+
+    sem, aji, pq = pre_eval_all_device(jnp.asarray(sem_pred), jnp.asarray(inst_pred),
+                                       jnp.asarray(sem_gt), jnp.asarray(inst_gt), num_classes=2)
+    want_sem = pre_eval_all_semantic_metric(sem_pred.astype(np.uint8), sem_gt.astype(np.uint8), 2)
+    want_aji = pre_eval_bin_aji(re_instance(inst_pred), re_instance(inst_gt))
+    want_pq = pre_eval_bin_pq(re_instance(inst_pred), re_instance(inst_gt))
+
+    for got, want in zip(sem, want_sem):
+        # host package is reduce_zero_label'd (classes 1..C-1)
+        np.testing.assert_allclose(np.asarray(got)[1:], np.asarray(want), rtol=1e-6)
+    np.testing.assert_allclose([float(x) for x in aji], [float(np.sum(x)) for x in want_aji], rtol=1e-4)
+    np.testing.assert_allclose([float(x) for x in pq], [float(np.sum(x)) for x in want_pq], rtol=1e-6)

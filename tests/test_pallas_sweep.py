@@ -126,3 +126,16 @@ def test_sweep_multiclass():
     host_sem, host_inst = instance_postprocess(sem.astype(np.uint8), radius=1)
     np.testing.assert_array_equal(np.asarray(got_sem), host_sem)
     assert partition_bijective(host_inst, np.asarray(got_inst))
+
+
+def test_sweep_large_plane_xla_path():
+    """Planes beyond the VMEM working set route to the HBM-resident XLA
+    program (same algorithm, no 512^2 cap) — whole-image MoNuSeg eval."""
+    from tiseg_tpu.ops.pallas_sweep import MAX_VMEM_PLANE_SWEEP
+    hw = 600
+    assert hw * hw > MAX_VMEM_PLANE_SWEEP
+    sem = blobs(2, hw=hw, n=120)
+    got_sem, got_inst = instance_postprocess_sweep(jnp.asarray(sem), radius=1, num_classes=2, sweeps=8)
+    host_sem, host_inst = instance_postprocess(sem.astype(np.uint8), radius=1)
+    np.testing.assert_array_equal(np.asarray(got_sem), host_sem)
+    assert partition_bijective(host_inst, np.asarray(got_inst))

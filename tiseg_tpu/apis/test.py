@@ -64,7 +64,13 @@ def single_device_test(segmentor, variables, dataset, pre_eval: bool = True, sho
         else:
             pred = segmentor.postprocess({k: v[0] for k, v in fused.items()})
         if pre_eval:
-            results.extend(dataset.pre_eval(pred, i, show=show, show_folder=show_folder))
+            # device_metrics: AJI/PQ/confusion also on device (one jit per
+            # image), host numpy kept as the oracle path
+            if (segmentor.test_cfg.get('device_metrics', False) and not show
+                    and hasattr(dataset, 'pre_eval_device')):
+                results.extend(dataset.pre_eval_device(pred, i))
+            else:
+                results.extend(dataset.pre_eval(pred, i, show=show, show_folder=show_folder))
         else:
             results.append(pred)
         if progress and (n + 1) % 5 == 0:

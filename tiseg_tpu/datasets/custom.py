@@ -115,6 +115,35 @@ class CustomDataset:
                 self._show(pred, index, show_folder or '.nuclei_show')
         return results
 
+    def pre_eval_device(self, preds, indices, max_instances: int = 1024):
+        """On-device pre-eval: relabel + semantic confusion + AJI/PQ in one
+        jit program per image (tiseg_tpu.ops.inst_metrics_jax); only the
+        pre-eval scalars/vectors reach the host. Package layout matches
+        pre_eval, so evaluate() reduces both identically."""
+        import jax.numpy as jnp
+        from ..ops.inst_metrics_jax import pre_eval_all_device
+        if not isinstance(indices, list):
+            indices = [indices]
+        if not isinstance(preds, list):
+            preds = [preds]
+        results = []
+        for pred, index in zip(preds, indices):
+            sem_gt, inst_gt = self._load_gts(index)
+            data_id = osp.basename(self.data_infos[index]['sem_file_name']).replace(self.sem_suffix, '')
+            sem, aji, pq = pre_eval_all_device(
+                jnp.asarray(np.asarray(pred['sem_pred']).astype(np.int32)),
+                jnp.asarray(np.asarray(pred['inst_pred']).astype(np.int32)),
+                jnp.asarray(sem_gt.astype(np.int32)), jnp.asarray(inst_gt.astype(np.int32)),
+                num_classes=len(self.CLASSES), max_instances=max_instances)
+            # host package stores the reduce_zero_label'd histograms
+            # (classes 1..C-1, sem_metrics.py pre_eval_all_semantic_metric)
+            results.append(
+                dict(name=data_id,
+                     sem_pre_eval_res=tuple(np.asarray(x)[1:] for x in sem),
+                     bin_aji_pre_eval_res=tuple(float(x) for x in aji),
+                     bin_pq_pre_eval_res=tuple(float(x) for x in pq)))
+        return results
+
     def _show(self, pred, index, show_folder):
         from .utils.draw import draw_all
         os.makedirs(show_folder, exist_ok=True)

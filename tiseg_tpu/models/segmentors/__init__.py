@@ -7,10 +7,10 @@ from .dist import DIST
 from .hovernet import HoverNet
 from .micronet import MicroNet, CMicroNet
 from .cdnet import CDNet
-from .multi_task_unet import MultiTaskUNet, MultiTaskCUNet
+from .multi_task_unet import MultiTaskCUNet, MultiTaskCUNetDebug, MultiTaskUNet
 from .multi_task_cdnet import MultiTaskCDNet, MultiTaskCDNetDebug
 
 __all__ = [
     'BaseSegmentor', 'parse_losses', 'UNet', 'instance_postprocess', 'CUNet', 'DCAN', 'FullNet', 'DIST', 'HoverNet',
-    'MicroNet', 'CMicroNet', 'CDNet', 'MultiTaskUNet', 'MultiTaskCUNet', 'MultiTaskCDNet', 'MultiTaskCDNetDebug'
+    'MicroNet', 'CMicroNet', 'CDNet', 'MultiTaskUNet', 'MultiTaskCUNet', 'MultiTaskCDNet', 'MultiTaskCDNetDebug', 'MultiTaskCUNetDebug'
 ]

@@ -152,19 +152,12 @@ class BaseSegmentor:
         return {'sem_pred': sem_out, 'inst_pred': inst_out}
 
     def _device_instance_pp(self, sem_pred):
-        """Batched on-device fill/CCL/remove-small/dilate. Default is the
-        fused segmented-sweep kernel (tiseg_tpu.ops.pallas_sweep); planes too
-        large for VMEM fall back to the exact HBM scan path."""
-        from functools import partial
-        from ...ops.pallas_postproc import MAX_VMEM_PLANE
-        radius = self.test_cfg.get('radius', self.device_pp_default_radius)
-        H, W = sem_pred.shape[-2:]
-        if H * W > MAX_VMEM_PLANE:
-            from ...ops.ccl import instance_postprocess_device
-            pp = partial(instance_postprocess_device, radius=radius, num_classes=self.num_classes,
-                         rounds=self.test_cfg.get('pp_rounds'))
-            return jax.vmap(pp)(sem_pred) if sem_pred.ndim == 3 else pp(sem_pred)
+        """Batched on-device fill/CCL/remove-small/dilate via the fused
+        segmented-sweep kernel (tiseg_tpu.ops.pallas_sweep); planes beyond
+        the VMEM working set automatically run the same algorithm as an
+        HBM-resident XLA program (no size cap)."""
         from ...ops.pallas_sweep import instance_postprocess_sweep
+        radius = self.test_cfg.get('radius', self.device_pp_default_radius)
         return instance_postprocess_sweep(sem_pred, radius=radius, num_classes=self.num_classes,
                                           sweeps=self.test_cfg.get('pp_sweeps', 16),
                                           fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 4))

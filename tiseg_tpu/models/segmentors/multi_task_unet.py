@@ -124,3 +124,20 @@ class MultiTaskCUNet(BaseSegmentor):
         bin_pred[bin_pred == 2] = 0
         sem, inst = _mt_postprocess(bin_pred, sem_pred)
         return {'sem_pred': sem, 'inst_pred': inst.astype(np.int32), 'tc_sem_pred': tc_pred.astype(np.uint8)}
+
+
+@SEGMENTORS.register_module()
+class MultiTaskCUNetDebug(MultiTaskCUNet):
+    """Boundary-width ablation twin (reference multi_task_cunet_debug.py:
+    19-276): same architecture; eval additionally surfaces the predicted
+    and ground-truth three-class maps for the d{dilation}e{erosion}
+    config sweeps' visual debugging."""
+
+    def postprocess(self, fused):
+        out = super().postprocess(fused)
+        out['tc_pred'] = out['tc_sem_pred']
+        if 'sem_gt_w_bound' in fused:
+            tc_gt = np.asarray(fused['sem_gt_w_bound'])
+            tc_gt = np.where((tc_gt != 0) & (tc_gt != self.num_classes), 1, tc_gt)
+            out['tc_gt'] = np.where(tc_gt > 1, 2, tc_gt).astype(np.uint8)
+        return out

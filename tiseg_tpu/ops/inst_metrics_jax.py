@@ -82,13 +82,19 @@ def pre_eval_bin_pq_device(inst_pred: jnp.ndarray, inst_gt: jnp.ndarray, max_ins
     return tp.astype(jnp.float32), fp.astype(jnp.float32), fn.astype(jnp.float32), paired_iou
 
 
-@partial(jax.jit, static_argnames=('num_classes',))
-def sem_confusion_device(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int):
+@partial(jax.jit, static_argnames=('num_classes', 'ignore_index'))
+def sem_confusion_device(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int,
+                         ignore_index: int = 255):
     """Per-class (TP, TN, FP, FN, Pred, GT) histograms — on-device twin of
-    pre_eval_all_semantic_metric (before reduce_zero_label)."""
+    pre_eval_all_semantic_metric (before reduce_zero_label). Pixels with
+    target == ignore_index are excluded (routed to a dropped overflow
+    bucket, matching the host mask)."""
     p = pred.reshape(-1).astype(jnp.int32)
     t = target.reshape(-1).astype(jnp.int32)
-    eq = p == t
+    ign = t == ignore_index
+    p = jnp.where(ign, num_classes, p)
+    t = jnp.where(ign, num_classes, t)
+    eq = (p == t) & ~ign
     TP = jnp.bincount(jnp.where(eq, t, num_classes), length=num_classes + 1)[:num_classes].astype(jnp.float32)
     FP = jnp.bincount(jnp.where(~eq, p, num_classes), length=num_classes + 1)[:num_classes].astype(jnp.float32)
     FN = jnp.bincount(jnp.where(~eq, t, num_classes), length=num_classes + 1)[:num_classes].astype(jnp.float32)
@@ -96,3 +102,30 @@ def sem_confusion_device(pred: jnp.ndarray, target: jnp.ndarray, num_classes: in
     GT = jnp.bincount(t, length=num_classes).astype(jnp.float32)
     TN = Pred.sum() - (TP + FP + FN)
     return TP, TN, FP, FN, Pred, GT
+
+
+@partial(jax.jit, static_argnames=('max_instances',))
+def relabel_sequential_device(inst: jnp.ndarray, max_instances: int = 512) -> jnp.ndarray:
+    """Compact arbitrary non-negative labels (e.g. the sweep kernels'
+    min-pixel-index ids) to contiguous 1..N with background 0 — the
+    on-device twin of re_instance (datasets/utils re_instance). Capacity-
+    bounded: beyond max_instances distinct ids, extras alias (same cap as
+    the contingency table)."""
+    big = jnp.iinfo(jnp.int32).max
+    flat = jnp.concatenate([jnp.zeros(1, jnp.int32), inst.reshape(-1).astype(jnp.int32)])
+    ids = jnp.unique(flat, size=max_instances + 1, fill_value=big)
+    return jnp.searchsorted(ids, inst.astype(jnp.int32)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=('num_classes', 'max_instances'))
+def pre_eval_all_device(sem_pred: jnp.ndarray, inst_pred: jnp.ndarray, sem_gt: jnp.ndarray,
+                        inst_gt: jnp.ndarray, num_classes: int, max_instances: int = 512):
+    """One fused program: relabel both instance maps + semantic confusion +
+    binary AJI + binary PQ pre-eval — the full CustomDataset.pre_eval
+    package computed on device (only small scalars/vectors reach the host)."""
+    ip = relabel_sequential_device(inst_pred, max_instances)
+    ig = relabel_sequential_device(inst_gt, max_instances)
+    sem = sem_confusion_device(sem_pred, sem_gt, num_classes)
+    aji = pre_eval_bin_aji_device(ip, ig, max_instances)
+    pq = pre_eval_bin_pq_device(ip, ig, max_instances)
+    return sem, aji, pq

@@ -30,6 +30,23 @@ def _interpret() -> bool:
     return jax.default_backend() != 'tpu'
 
 
+# trace-time switch: the sweep algorithm is pure jnp except for the roll
+# primitive; with _FORCE_JNP_ROLL the same helpers build an XLA (HBM-
+# resident) program usable for planes beyond the VMEM working set.
+_FORCE_JNP_ROLL = False
+
+
+class _jnp_rolls:
+    def __enter__(self):
+        global _FORCE_JNP_ROLL
+        self._old = _FORCE_JNP_ROLL
+        _FORCE_JNP_ROLL = True
+
+    def __exit__(self, *a):
+        global _FORCE_JNP_ROLL
+        _FORCE_JNP_ROLL = self._old
+
+
 def _log2_steps(n: int):
     """Powers of two < n: the jump schedule for log-doubling."""
     steps, c = [], 1
@@ -42,7 +59,7 @@ def _log2_steps(n: int):
 def _shift(x, k: int, axis: int, fill):
     """x shifted so result[i] = x[i-k] (k may be negative), edges filled."""
     n = x.shape[axis]
-    if _interpret():
+    if _interpret() or _FORCE_JNP_ROLL:
         y = jnp.roll(x, k, axis=axis)
     else:
         y = pltpu.roll(x, k % n, axis=axis)  # mosaic roll needs shift >= 0
@@ -150,7 +167,7 @@ def _fill_holes_in_kernel(mask, sweeps: int):
 
 def _roll_dyn(x, shift, axis: int):
     """Circular roll by a (possibly traced) non-negative shift."""
-    if _interpret():
+    if _interpret() or _FORCE_JNP_ROLL:
         return jnp.roll(x, shift, axis=axis)
     return pltpu.roll(x, shift, axis=axis)
 
@@ -196,9 +213,9 @@ def _disk_offsets(radius: int):
     return tuple(offs)
 
 
-def _fused_pp_kernel(sem_ref, sem_out_ref, inst_out_ref, *, num_classes, radius, min_size,
-                     sweeps, fill_sweeps):
-    sem = sem_ref[0]
+def _instance_pp_plane(sem, *, num_classes, radius, min_size, sweeps, fill_sweeps):
+    """The full per-plane pipeline; used both inside the fused kernel and
+    (with jnp rolls) as a plain XLA program for large planes."""
     H, W = sem.shape
     inst_out = jnp.zeros((H, W), jnp.int32)
     sem_out = jnp.zeros((H, W), jnp.int32)
@@ -215,8 +232,24 @@ def _fused_pp_kernel(sem_ref, sem_out_ref, inst_out_ref, *, num_classes, radius,
         inst_shifted = jnp.where(inst > 0, inst + (sem_id - 1) * H * W, 0)
         inst_out = jnp.where(inst_shifted > 0, inst_shifted, inst_out)
         sem_out = jnp.where(inst_shifted > 0, jnp.int32(sem_id), sem_out)
+    return sem_out, inst_out
+
+
+def _fused_pp_xla(sem, **kw):
+    return _instance_pp_plane(sem, **kw)
+
+
+def _fused_pp_kernel(sem_ref, sem_out_ref, inst_out_ref, *, num_classes, radius, min_size,
+                     sweeps, fill_sweeps):
+    sem_out, inst_out = _instance_pp_plane(sem_ref[0], num_classes=num_classes, radius=radius,
+                                           min_size=min_size, sweeps=sweeps, fill_sweeps=fill_sweeps)
     sem_out_ref[0] = sem_out
     inst_out_ref[0] = inst_out
+
+
+# fused-kernel working set is ~7 int32 planes; beyond this the same sweep
+# algorithm runs as a pure-XLA (HBM-resident) program instead
+MAX_VMEM_PLANE_SWEEP = 512 * 512
 
 
 @partial(jax.jit, static_argnames=('radius', 'min_size', 'num_classes', 'sweeps', 'fill_sweeps'))
@@ -229,11 +262,23 @@ def instance_postprocess_sweep(sem_pred: jnp.ndarray, radius: int = 1, min_size:
     component geodesic has <= ``sweeps`` bends/diagonal links and every
     background hole path to the border has <= ``fill_sweeps`` bends.
     Returns (sem uint8, inst int32); accepts (H, W) or (B, H, W).
+
+    Planes larger than the VMEM working set (e.g. 1000x1000 whole-image
+    MoNuSeg eval) run the identical algorithm as an XLA program with
+    HBM-resident planes — same exactness contract, no 512^2 cap.
     """
     squeeze = sem_pred.ndim == 2
     if squeeze:
         sem_pred = sem_pred[None]
     B, H, W = sem_pred.shape
+    if H * W > MAX_VMEM_PLANE_SWEEP:
+        with _jnp_rolls():
+            sem_out, inst_out = jax.vmap(
+                lambda s: _fused_pp_xla(s, num_classes=num_classes, radius=radius,
+                                        min_size=min_size, sweeps=sweeps,
+                                        fill_sweeps=fill_sweeps))(sem_pred.astype(jnp.int32))
+        sem_out = sem_out.astype(jnp.uint8)
+        return (sem_out[0], inst_out[0]) if squeeze else (sem_out, inst_out)
     sem_out, inst_out = pl.pallas_call(
         partial(_fused_pp_kernel, num_classes=num_classes, radius=radius, min_size=min_size,
                 sweeps=sweeps, fill_sweeps=fill_sweeps),
