@@ -43,7 +43,9 @@ def main():
                           dtype=jnp.bfloat16)
     variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
 
-    B = int(os.environ.get('BENCH_BATCH', 64))
+    # B=128 measured best on v5e-1: net 2785 p/s vs 2526 (B=64) / 2825 (B=256,
+    # 2x memory for +1.4%) — larger batches amortize the decoder's layout copies
+    B = int(os.environ.get('BENCH_BATCH', 128))
     ITERS = int(os.environ.get('BENCH_ITERS', 16))
     include_postproc = os.environ.get('BENCH_POSTPROC', '1') == '1'
 
