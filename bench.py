@@ -108,7 +108,8 @@ def main():
 
         # chained like the net stage: each iteration's input depends on the
         # previous max, so the timing is RPC-amortized and pipeline-immune
-        # (sweep-kernel runtime is data-independent: static round counts)
+        # (every iteration processes the same plane, so the sweep loops'
+        # data-dependent early exit does identical work each time)
         @jax.jit
         def pp_chain(sem):
             def body(i, carry):
