@@ -56,13 +56,18 @@ def _log2_steps(n: int):
     return steps
 
 
+def _roll(x, k: int, axis: int):
+    """Circular shift so result[i] = x[i-k] (k may be negative)."""
+    n = x.shape[axis]
+    if _interpret() or _FORCE_JNP_ROLL:
+        return jnp.roll(x, k, axis=axis)
+    return pltpu.roll(x, k % n, axis=axis)  # mosaic roll needs shift >= 0
+
+
 def _shift(x, k: int, axis: int, fill):
     """x shifted so result[i] = x[i-k] (k may be negative), edges filled."""
     n = x.shape[axis]
-    if _interpret() or _FORCE_JNP_ROLL:
-        y = jnp.roll(x, k, axis=axis)
-    else:
-        y = pltpu.roll(x, k % n, axis=axis)  # mosaic roll needs shift >= 0
+    y = _roll(x, k, axis)
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
     if k >= 0:
         return jnp.where(idx < k, fill, y)
@@ -80,21 +85,31 @@ def _runlen(mask_i32, axis: int, backward: bool = False):
     return L
 
 
-def _seg_run_min(v, L_fwd, L_bwd, axis: int, big):
+def _guards(L, axis_n: int):
+    """Precomputed (L > c) masks for the log-doubling schedule. Hoisting
+    them out of the sweep while_loop (closure constants) saves recomputing
+    the compare every sweep iteration."""
+    return tuple(L > c for c in _log2_steps(axis_n))
+
+
+def _seg_run_min(v, g_fwd, g_bwd, axis: int):
     """Min over each contiguous run (segmented total min) along axis.
 
     Two guarded log-doubling passes: a forward prefix-min (window growth
     stays inside the run because every contribution was itself guarded),
     then a backward pass over the prefix results spreads the run minimum
     to every member.
+
+    ``g_fwd``/``g_bwd``: (L > c) guard masks from :func:`_guards`. The
+    rolls are UNMASKED circular rolls: a guarded position is >= c pixels
+    inside its run, and runs never cross the image edge, so a wrapped
+    value can never be taken — the edge fill would be dead work.
     """
     n = v.shape[axis]
-    for c in _log2_steps(n):
-        vs = _shift(v, c, axis, big)
-        v = jnp.where(L_fwd > c, jnp.minimum(v, vs), v)
-    for c in _log2_steps(n):
-        vs = _shift(v, -c, axis, big)
-        v = jnp.where(L_bwd > c, jnp.minimum(v, vs), v)
+    for g, c in zip(g_fwd, _log2_steps(n)):
+        v = jnp.where(g, jnp.minimum(v, _roll(v, c, axis)), v)
+    for g, c in zip(g_bwd, _log2_steps(n)):
+        v = jnp.where(g, jnp.minimum(v, _roll(v, -c, axis)), v)
     return v
 
 
@@ -110,7 +125,7 @@ def _shift2d(x, dy: int, dx: int, fill):
 _DIAGS = ((1, 1), (1, -1), (-1, 1), (-1, -1))
 
 
-def _ccl_in_kernel(mask, sweeps: int, connectivity: int, seed=None):
+def _ccl_in_kernel(mask, sweeps: int, connectivity: int, seed=None, runlens=None):
     """Min-index connected-component labels of a boolean (H, W) plane.
 
     Exact when ``sweeps`` >= the number of row/col direction changes (plus
@@ -123,22 +138,30 @@ def _ccl_in_kernel(mask, sweeps: int, connectivity: int, seed=None):
     constant per 4-connected run works). Seeding the 8-conn pass with the
     already-converged 4-conn labels makes it converge in ~1 sweep (the
     remaining work is only merging 4-components across diagonal links).
+
+    ``runlens``: optional precomputed (Lr_f, Lr_b, Lc_f, Lc_b) for this
+    mask, saving the 4 log-doubling passes (~30% of a CCL call).
     """
     H, W = mask.shape
     big = jnp.int32(H * W + 2)
-    m32 = mask.astype(jnp.int32)
-    Lr_f = _runlen(m32, 1)
-    Lr_b = _runlen(m32, 1, backward=True)
-    Lc_f = _runlen(m32, 0)
-    Lc_b = _runlen(m32, 0, backward=True)
+    if runlens is not None:
+        Lr_f, Lr_b, Lc_f, Lc_b = runlens
+    else:
+        m32 = mask.astype(jnp.int32)
+        Lr_f = _runlen(m32, 1)
+        Lr_b = _runlen(m32, 1, backward=True)
+        Lc_f = _runlen(m32, 0)
+        Lc_b = _runlen(m32, 0, backward=True)
+    gr_f, gr_b = _guards(Lr_f, W), _guards(Lr_b, W)
+    gc_f, gc_b = _guards(Lc_f, H), _guards(Lc_b, H)
     if seed is None:
         seed = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W +
                 jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) + 1)
     labels = jnp.where(mask, seed, big)
 
     def sweep(labels):
-        labels = _seg_run_min(labels, Lr_f, Lr_b, 1, big)
-        labels = _seg_run_min(labels, Lc_f, Lc_b, 0, big)
+        labels = _seg_run_min(labels, gr_f, gr_b, 1)
+        labels = _seg_run_min(labels, gc_f, gc_b, 0)
         if connectivity == 2:
             acc = labels
             for dy, dx in _DIAGS:
@@ -169,6 +192,8 @@ def _fill_holes_in_kernel(mask, sweeps: int):
     Lr_b = _runlen(b32, 1, backward=True)
     Lc_f = _runlen(b32, 0)
     Lc_b = _runlen(b32, 0, backward=True)
+    gr_f, gr_b = _guards(Lr_f, W), _guards(Lr_b, W)
+    gc_f, gc_b = _guards(Lc_f, H), _guards(Lc_b, H)
     ri = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     border = (ri == 0) | (ri == H - 1) | (ci == 0) | (ci == W - 1)
@@ -180,8 +205,8 @@ def _fill_holes_in_kernel(mask, sweeps: int):
 
     def body(carry):
         i, v, _ = carry
-        new = _seg_run_min(v, Lr_f, Lr_b, 1, big)
-        new = _seg_run_min(new, Lc_f, Lc_b, 0, big)
+        new = _seg_run_min(v, gr_f, gr_b, 1)
+        new = _seg_run_min(new, gc_f, gc_b, 0)
         return i + 1, new, jnp.any(new != v)
 
     _, v, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), v, jnp.bool_(True)))
@@ -206,20 +231,24 @@ def _big_component_mask_in_kernel(labels, min_size: int):
     r = min_size - 1
     H, W = labels.shape
     fg = labels > 0
-    ir = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    ic = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    # UNMASKED circular rolls: a wrapped-in value can only equal the local
+    # label if the component spans >= H-2r rows (or W-2r cols) — such a
+    # component has far more than min_size pixels and is kept regardless,
+    # so edge masking cannot change any keep/drop decision (needs
+    # H, W >= 3*min_size - 2; bg pixels self-match at the -1 sentinel but
+    # the result is ANDed with fg).
+    assert min(H, W) >= 3 * min_size - 2
+    lab = jnp.where(fg, labels, -1)
 
     def body_dy(i, cnt):
         dy = i - r
-        row = _roll_dyn(labels, jnp.mod(dy, H), axis=0)
-        row = jnp.where((ir - dy >= 0) & (ir - dy < H), row, 0)
+        row = _roll_dyn(lab, jnp.mod(dy, H), axis=0)
         w = r - jnp.abs(dy)
 
         def body_dx(j, cnt):
             dx = j - w
             sh = _roll_dyn(row, jnp.mod(dx, W), axis=1)
-            sh = jnp.where((ic - dx >= 0) & (ic - dx < W), sh, 0)
-            return cnt + (fg & (labels == sh)).astype(jnp.int32)
+            return cnt + (lab == sh).astype(jnp.int32)
 
         return jax.lax.fori_loop(0, 2 * w + 1, body_dx, cnt)
 
@@ -246,12 +275,18 @@ def _instance_pp_plane(sem, *, num_classes, radius, min_size, sweeps, fill_sweep
     for sem_id in range(1, num_classes):
         mask = sem == sem_id
         mask = _fill_holes_in_kernel(mask, fill_sweeps)
-        cc4 = _ccl_in_kernel(mask, sweeps, connectivity=1)
+        m32 = mask.astype(jnp.int32)
+        rl = (_runlen(m32, 1), _runlen(m32, 1, backward=True),
+              _runlen(m32, 0), _runlen(m32, 0, backward=True))
+        cc4 = _ccl_in_kernel(mask, sweeps, connectivity=1, runlens=rl)
         mask = mask & _big_component_mask_in_kernel(cc4, min_size)
-        # the size filter drops whole 4-components, so the surviving cc4
+        # the size filter drops whole 4-components, so (a) the surviving cc4
         # labels are still min-per-4-component: a valid (near-converged)
-        # seed for the 8-conn pass
-        inst0 = _ccl_in_kernel(mask, sweeps, connectivity=2, seed=cc4)
+        # seed for the 8-conn pass, and (b) every row/col run is kept or
+        # dropped atomically (a run is 4-connected): the filtered mask's
+        # run lengths are the unfiltered ones, zeroed at dropped pixels
+        rl = tuple(jnp.where(mask, L, 0) for L in rl)
+        inst0 = _ccl_in_kernel(mask, sweeps, connectivity=2, seed=cc4, runlens=rl)
         inst = inst0
         for dy, dx in offs:
             inst = jnp.maximum(inst, _shift2d(inst0, dy, dx, jnp.int32(0)))
