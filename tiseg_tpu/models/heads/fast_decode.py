@@ -344,6 +344,20 @@ def _apply_stage_plain(st, x, skip, dtype):
     return y
 
 
+def _use_fused_tail(st, skip, x, fp) -> bool:
+    """Route the final stage through the fused Pallas kernel (decode0 +
+    cls in one VMEM-resident program, heads/pallas_decode.py). Opt-in via
+    TISEG_FUSED_TAIL=1: measured on v5e-1 the kernel loses to XLA's conv
+    emitter for this region (7.0 ms vs 4.5 ms at B=128 — Mosaic's vector
+    relayouts for the misaligned window slices cost more than the MXU
+    lane-idle it recovers; docs/ROUND2.md "negative results")."""
+    import os
+    if os.environ.get('TISEG_FUSED_TAIL', '0') != '1':
+        return False
+    return ('Wc_t' in st and isinstance(skip, PhaseSkip) and 'cls_kernel' in fp
+            and x is not None)
+
+
 def apply_fast_unet_head(fp, bottom, skips, dtype=jnp.bfloat16):
     """Fast eval-mode UNetHead: bottom + skips (low->high stride, reference
     ordering) -> class logits. Mirrors UNetHead.__call__ (unet_head.py:47-55)
@@ -357,6 +371,12 @@ def apply_fast_unet_head(fp, bottom, skips, dtype=jnp.bfloat16):
             if phase_out is not None:
                 x = d2s(phase_out, phase_out.shape[-1] // 4)
                 phase_out = None
+            if i == 0 and _use_fused_tail(st, skips[0], x, fp):
+                from .pallas_decode import fused_decode0_cls
+                return fused_decode0_cls(
+                    x, skips[0].z, st['Wt'], st['bt'], st['Wc_t'],
+                    st['Wc_s_phase'], st['bc'], fp['cls_kernel'],
+                    fp['cls_bias'], dtype=dtype)
             phase_out = _apply_stage_phase(st, x, skips[i], dtype)
             x = None
         else:
