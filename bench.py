@@ -138,10 +138,15 @@ def main():
     }))
 
 
-def bench_fused_model(typ: str, B: int = 16, iters: int = 8):
+_FUSED_BATCH = {'HoverNet': 32}  # stride-1 trunk: huge activations; flat beyond 16
+
+
+def bench_fused_model(typ: str, B: int = 0, iters: int = 8):
     """Fully-fused eval chain (inference + device post-processing in one jit
     program) for the heavier zoo members; used by BENCH_MODELS=all runs and
-    docs, not the driver's single-line contract."""
+    docs, not the driver's single-line contract. Per-model default batches:
+    64 (CDNet measured +24% over B=16), HoverNet 32 (compute-bound, flat)."""
+    B = B or _FUSED_BATCH.get(typ, 64)
     import jax
     import jax.numpy as jnp
     import numpy as np
