@@ -192,9 +192,84 @@ def bench_fused_model(typ: str, B: int = 0, iters: int = 8):
     return rate
 
 
+def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8):
+    """Training-step throughput (forward + backward + Adam update, bf16
+    compute / f32 params+optimizer, cross-replica-BN single chip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tiseg_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from tiseg_tpu.engine.train_state import TrainState
+    from tiseg_tpu.models import build_segmentor
+
+    seg = build_segmentor(dict(type=typ, num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')),
+                          dtype=jnp.bfloat16)
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
+    schedule = build_lr_schedule(dict(policy='fixed'), 1e-4, 1, 100)
+    tx = build_optimizer(dict(type='Adam', lr=1e-4, weight_decay=5e-4), schedule)
+    state = TrainState.create(variables['params'], variables['batch_stats'], tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        'data': {'img': jnp.asarray(rng.normal(size=(B, 256, 256, 3)).astype(np.float32))},
+        'label': {
+            'sem_gt_inner': jnp.asarray(rng.integers(0, 2, (B, 256, 256)).astype(np.int32)),
+            'loss_weight_map': jnp.ones((B, 256, 256), jnp.float32),
+        },
+    }
+    base_key = jax.random.PRNGKey(0)
+
+    def one_step(state):
+        key = jax.random.fold_in(base_key, state.step)
+
+        def loss_fn(params):
+            vs = {'params': params, 'batch_stats': state.batch_stats}
+            total, (logs, new_model_state) = seg.loss(vs, batch, train=True, rng=key)
+            return total, (logs, new_model_state)
+
+        grads, (logs, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads).replace(batch_stats=new_model_state['batch_stats'])
+
+    @jax.jit
+    def chain(state):
+        return jax.lax.fori_loop(0, iters, lambda i, st: one_step(st), state)
+
+    @jax.jit
+    def trivial(x):
+        return jnp.float32(x[0, 0, 0, 0])
+
+    img = batch['data']['img']
+    float(trivial(img))
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(img))
+        lat.append(time.perf_counter() - t0)
+    rpc = sorted(lat)[len(lat) // 2]
+
+    state = chain(state)  # compile + burn-in
+    jax.block_until_ready(state.params)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = chain(state)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    rate = B * iters / max(best - rpc, 1e-9)
+    print(json.dumps({'metric': f'{typ.lower()}_256x256_train_throughput',
+                      'value': round(rate, 1), 'unit': 'patches/sec/chip',
+                      'vs_baseline': round(rate / BASELINE_PATCHES_PER_SEC, 3)}))
+    return rate
+
+
 if __name__ == '__main__':
     models = os.environ.get('BENCH_MODELS', '')
-    if models:
+    if os.environ.get('BENCH_TRAIN', ''):
+        for name in (os.environ['BENCH_TRAIN'].split(',') if os.environ['BENCH_TRAIN'] != '1'
+                     else ['UNet']):
+            bench_train(name)
+    elif models:
         names = ['UNet', 'CDNet', 'HoverNet'] if models == 'all' else models.split(',')
         for name in names:
             bench_fused_model(name)
