@@ -22,7 +22,7 @@ into the conv weights, so the fast path is conv+bias+relu only.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -222,7 +222,7 @@ def _pool_from_offm1(z, C: int):
 def build_fast_vgg16_params(params, stats, dtype=jnp.bfloat16):
     """Fold BN into every conv of a VGG16BN tree; stage0 additionally gets
     phase-space weights (stride-2 4x4 input conv + 2x2 block conv)."""
-    from ..backbones.vgg import VGG_STAGE_CHANNELS, VGG_STAGE_CONVS
+    from ..backbones.vgg import VGG_STAGE_CONVS
     fp = {}
     k0, b0 = _layer_folded(params, stats, 'stage0_conv0', 'Conv_0')
     fp['W0'] = strided_conv3x3_weights(k0).astype(dtype)
