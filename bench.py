@@ -192,9 +192,11 @@ def bench_fused_model(typ: str, B: int = 0, iters: int = 8):
     return rate
 
 
-def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8):
+def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8, hw: int = 256):
     """Training-step throughput (forward + backward + Adam update, bf16
-    compute / f32 params+optimizer, cross-replica-BN single chip)."""
+    compute / f32 params+optimizer, cross-replica-BN single chip).
+    B=32 measured best on v5e-1 (B=64 flat); hw is parameterized so the
+    CPU test can exercise this surface on tiny shapes."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -204,17 +206,17 @@ def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8):
 
     seg = build_segmentor(dict(type=typ, num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')),
                           dtype=jnp.bfloat16)
-    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(hw, hw))
     schedule = build_lr_schedule(dict(policy='fixed'), 1e-4, 1, 100)
     tx = build_optimizer(dict(type='Adam', lr=1e-4, weight_decay=5e-4), schedule)
     state = TrainState.create(variables['params'], variables['batch_stats'], tx)
 
     rng = np.random.default_rng(0)
     batch = {
-        'data': {'img': jnp.asarray(rng.normal(size=(B, 256, 256, 3)).astype(np.float32))},
+        'data': {'img': jnp.asarray(rng.normal(size=(B, hw, hw, 3)).astype(np.float32))},
         'label': {
-            'sem_gt_inner': jnp.asarray(rng.integers(0, 2, (B, 256, 256)).astype(np.int32)),
-            'loss_weight_map': jnp.ones((B, 256, 256), jnp.float32),
+            'sem_gt_inner': jnp.asarray(rng.integers(0, 2, (B, hw, hw)).astype(np.int32)),
+            'loss_weight_map': jnp.ones((B, hw, hw), jnp.float32),
         },
     }
     base_key = jax.random.PRNGKey(0)
@@ -257,7 +259,7 @@ def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8):
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     rate = B * iters / max(best - rpc, 1e-9)
-    print(json.dumps({'metric': f'{typ.lower()}_256x256_train_throughput',
+    print(json.dumps({'metric': f'{typ.lower()}_{hw}x{hw}_train_throughput',
                       'value': round(rate, 1), 'unit': 'patches/sec/chip',
                       'vs_baseline': round(rate / BASELINE_PATCHES_PER_SEC, 3)}))
     return rate

@@ -68,3 +68,11 @@ def test_train_cli(tmp_path):
                         capture_output=True, text=True, env=env)
     assert r2.returncode == 0, r2.stderr
     assert 'average of last' in r2.stdout
+
+
+def test_bench_train_surface():
+    """BENCH_TRAIN surface: one tiny train-step chain compiles and reports
+    a finite rate (CPU, 64x64, B=2)."""
+    import bench
+    rate = bench.bench_train('UNet', B=2, iters=1, hw=64)
+    assert rate > 0
