@@ -192,6 +192,30 @@ def bench_fused_model(typ: str, B: int = 0, iters: int = 8):
     return rate
 
 
+def make_universal_label_batch(B: int, hw: int, num_classes: int = 2, num_angles: int = 8, seed: int = 0):
+    """Synthetic label dict carrying every key any segmentor's loss reads
+    (sem/inner/with-bound semantic maps, HoverNet hv maps, DIST distance,
+    CDNet direction/point, weight map) so train-throughput benches work
+    across the whole zoo."""
+    import jax.numpy as jnp
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    f32 = lambda a: jnp.asarray(a.astype(np.float32))
+    i32 = lambda a: jnp.asarray(a.astype(np.int32))
+    return {
+        'sem_gt': i32(rng.integers(0, num_classes, (B, hw, hw))),
+        'sem_gt_inner': i32(rng.integers(0, num_classes, (B, hw, hw))),
+        'sem_gt_w_bound': i32(rng.integers(0, num_classes + 1, (B, hw, hw))),
+        'inst_gt': i32(rng.integers(0, 8, (B, hw, hw))),
+        'loss_weight_map': jnp.ones((B, hw, hw), jnp.float32),
+        'hv_gt': f32(rng.normal(size=(B, hw, hw, 2))),
+        'dist_gt': f32(rng.random((B, hw, hw))),
+        'point_gt': f32(rng.random((B, hw, hw))),
+        'dir_gt': i32(rng.integers(0, num_angles + 1, (B, hw, hw))),
+        'reg_dir_gt': f32(rng.random((B, hw, hw)) * 360.0),
+    }
+
+
 def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8, hw: int = 256):
     """Training-step throughput (forward + backward + Adam update, bf16
     compute / f32 params+optimizer, cross-replica-BN single chip).
@@ -204,6 +228,8 @@ def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8, hw: int = 256):
     from tiseg_tpu.engine.train_state import TrainState
     from tiseg_tpu.models import build_segmentor
 
+    if 'MicroNet' in typ:
+        hw = 252  # MicroNet's fixed input contract
     seg = build_segmentor(dict(type=typ, num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')),
                           dtype=jnp.bfloat16)
     variables = seg.init_variables(jax.random.PRNGKey(0), hw=(hw, hw))
@@ -214,10 +240,7 @@ def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8, hw: int = 256):
     rng = np.random.default_rng(0)
     batch = {
         'data': {'img': jnp.asarray(rng.normal(size=(B, hw, hw, 3)).astype(np.float32))},
-        'label': {
-            'sem_gt_inner': jnp.asarray(rng.integers(0, 2, (B, hw, hw)).astype(np.int32)),
-            'loss_weight_map': jnp.ones((B, hw, hw), jnp.float32),
-        },
+        'label': make_universal_label_batch(B, hw),
     }
     base_key = jax.random.PRNGKey(0)
 

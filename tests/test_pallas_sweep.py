@@ -53,6 +53,44 @@ def test_instance_postprocess_sweep_batched():
         assert partition_bijective(host_inst, np.asarray(got_inst[i]))
 
 
+def test_instance_postprocess_sweep_small_plane_large_min_size():
+    """Planes with min(H, W) < 3*min_size - 2 take the masked-roll size
+    filter (exact at any size; the unmasked wraparound argument doesn't
+    apply)."""
+    sem = blobs(5, hw=32, n=6, rmax=9)
+    host_sem, host_inst = instance_postprocess(sem.astype(np.uint8), radius=1, min_size=20)
+    got_sem, got_inst = instance_postprocess_sweep(jnp.asarray(sem), radius=1, num_classes=2,
+                                                   sweeps=16, min_size=20)
+    np.testing.assert_array_equal(np.asarray(got_sem), host_sem)
+    assert partition_bijective(host_inst, np.asarray(got_inst))
+
+
+def test_mt_instance_postprocess_sweep_matches_host():
+    """Seed+canvas multi-task recovery vs the host numpy pipeline
+    (remove-small -> fill -> seed CCL -> align_foreground max-id waves)."""
+    from tiseg_tpu.models.segmentors.multi_task_unet import align_foreground
+    from tiseg_tpu.ops.pallas_sweep import mt_instance_postprocess_sweep
+
+    sem = blobs(7, hw=96, n=20, rmax=8)
+    rng = np.random.default_rng(7)
+    seed = sem.copy()
+    from scipy import ndimage
+    seed[ndimage.binary_erosion(sem > 0, iterations=2) == 0] = 0  # inner seeds
+    seed[rng.random(sem.shape) < 0.02] = 0
+
+    canvas = np.zeros_like(sem, np.uint8)
+    mask = m.remove_small_objects(sem == 1, 5)
+    mask = m.binary_fill_holes(mask)
+    canvas[mask] = 1
+    host_inst = m.label(seed, connectivity=1)
+    host_inst = align_foreground(host_inst, canvas > 0, 20)
+
+    got_sem, got_inst = mt_instance_postprocess_sweep(jnp.asarray(sem), jnp.asarray(seed),
+                                                      num_classes=2, sweeps=16, fill_sweeps=8)
+    np.testing.assert_array_equal(np.asarray(got_sem), canvas)
+    assert partition_bijective(host_inst, np.asarray(got_inst))
+
+
 def serpentine(hw=128, pitch=8):
     """One long snake: ~hw/pitch bends."""
     s = np.zeros((hw, hw), bool)

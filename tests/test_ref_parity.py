@@ -34,7 +34,7 @@ def _randomize_torch(model, seed=0):
                 mod.running_var.copy_(torch.rand(mod.running_var.shape, generator=g) * 0.3 + 0.85)
 
 
-def _compare(typ, ref_cfg=None, heads=1, hw=64, extra=None, head_order=None):
+def _compare(typ, ref_cfg=None, heads=1, hw=64, extra=None, head_order=None, batch=2):
     load_reference_models()
     from tiseg.models import build_segmentor as ref_build
 
@@ -55,7 +55,7 @@ def _compare(typ, ref_cfg=None, heads=1, hw=64, extra=None, head_order=None):
     variables = import_reference_checkpoint(typ, variables, ref.state_dict())
 
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(2, hw, hw, 3)).astype(np.float32)
+    x = rng.normal(size=(batch, hw, hw, 3)).astype(np.float32)
     with torch.no_grad():
         want = ref.calculate(torch.from_numpy(x.transpose(0, 3, 1, 2)))
     want = [want] if not isinstance(want, (list, tuple)) else list(want)
@@ -85,6 +85,70 @@ def test_cdnet_parity():
 def test_hovernet_parity():
     # reference calculate returns (sem, hv, fore) (hovernet.py:225-233)
     _compare('HoverNet', heads=3, head_order=('sem', 'hv', 'fore'))
+
+
+def test_dcan_parity():
+    # reference calculate returns (cell_logit, cont_logit) (dcan.py:124-157)
+    _compare('DCAN', heads=2, head_order=('sem', 'cont'))
+
+
+def test_dist_parity():
+    # reference calculate returns (sem_logit, dist_logit) (dist.py:210-245)
+    _compare('DIST', heads=2, head_order=('sem', 'dist'))
+
+
+def test_micronet_parity():
+    # valid convolutions pin the input to 252x252 (micronet.py:96-99)
+    _compare('MicroNet', hw=252, batch=1)
+
+
+def test_cmicronet_parity():
+    _compare('CMicroNet', hw=252, batch=1)
+
+
+def test_fullnet_parity():
+    _compare('FullNet')
+
+
+def test_multi_task_unet_parity():
+    # reference calculate returns (inner_logit, sem_logit) (multi_task_unet.py:38-46)
+    _compare('MultiTaskUNet', heads=2, head_order=('aux', 'sem'))
+
+
+def test_multi_task_cunet_parity():
+    # reference calculate returns (tc_logit, sem_logit) (multi_task_cunet.py:38-46)
+    _compare('MultiTaskCUNet', heads=2, head_order=('aux', 'sem'))
+
+
+def test_multi_task_cunet_debug_parity():
+    _compare('MultiTaskCUNetDebug', heads=2, head_order=('aux', 'sem'))
+
+
+_MTCD_ORDER = ('tc', 'sem', 'dir', 'point')
+
+
+def test_multi_task_cdnet_parity():
+    # reference calculate returns (tc, sem, dir, point) (multi_task_cdnet.py:146-153)
+    _compare('MultiTaskCDNet', heads=4, head_order=_MTCD_ORDER)
+
+
+def test_multi_task_cdnet_parallel_parity():
+    _compare('MultiTaskCDNet', heads=4, head_order=_MTCD_ORDER,
+             extra=dict(train_cfg=dict(parallel=True)))
+
+
+def test_multi_task_cdnet_twobranch_parity():
+    _compare('MultiTaskCDNet', heads=4, head_order=_MTCD_ORDER,
+             extra=dict(train_cfg=dict(use_twobranch=True)))
+
+
+def test_multi_task_cdnet_noau_regression_parity():
+    _compare('MultiTaskCDNet', heads=4, head_order=_MTCD_ORDER,
+             extra=dict(train_cfg=dict(noau=True, use_regression=True)))
+
+
+def test_multi_task_cdnet_debug_parity():
+    _compare('MultiTaskCDNetDebug', heads=4, head_order=_MTCD_ORDER)
 
 
 def test_unet_parity_fast_eval_path():

@@ -22,6 +22,7 @@ into the conv weights, so the fast path is conv+bias+relu only.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -350,8 +351,11 @@ def _use_fused_tail(st, skip, x, fp) -> bool:
     TISEG_FUSED_TAIL=1: measured on v5e-1 the kernel loses to XLA's conv
     emitter for this region (7.0 ms vs 4.5 ms at B=128 — Mosaic's vector
     relayouts for the misaligned window slices cost more than the MXU
-    lane-idle it recovers; docs/ROUND2.md "negative results")."""
-    import os
+    lane-idle it recovers; docs/ROUND2.md "negative results").
+
+    The flag is consulted at TRACE time: set it before the first jitted
+    eval call — toggling it after a program is cached has no effect on
+    that cached program."""
     if os.environ.get('TISEG_FUSED_TAIL', '0') != '1':
         return False
     return ('Wc_t' in st and isinstance(skip, PhaseSkip) and 'cls_kernel' in fp

@@ -145,11 +145,16 @@ class BaseSegmentor:
         if not (self.device_pp_supported and self.test_cfg.get('device_postprocess', False)):
             return None
         fused = self.inference(variables, img, ori_hw=ori_hw)
+        sem_out, inst_out = self._device_instance_pp(self._device_sem_pred(fused))
+        return {'sem_pred': sem_out, 'inst_pred': inst_out}
+
+    def _device_sem_pred(self, fused):
+        """Fused maps -> the integer semantic plane the device instance
+        post-processor consumes (subclasses with extra heads override)."""
         sem_pred = jnp.argmax(fused['sem'], axis=-1).astype(jnp.int32)
         if self.device_pp_strip_boundary:
             sem_pred = jnp.where(sem_pred == self.num_classes, 0, sem_pred)
-        sem_out, inst_out = self._device_instance_pp(sem_pred)
-        return {'sem_pred': sem_out, 'inst_pred': inst_out}
+        return sem_pred
 
     def _device_instance_pp(self, sem_pred):
         """Batched on-device fill/CCL/remove-small/dilate via the fused

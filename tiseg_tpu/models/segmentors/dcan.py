@@ -59,6 +59,16 @@ class DCANNet(nn.Module):
 class DCAN(BaseSegmentor):
 
     softmax_heads = ('sem', 'cont')
+    device_pp_supported = True
+    device_pp_default_radius = 3
+
+    def _device_sem_pred(self, fused):
+        """Cell argmax with predicted contours stripped (reference
+        dcan.py:193-217) before the fused sweep post-processing."""
+        import jax.numpy as jnp
+        sem_pred = jnp.argmax(fused['sem'], axis=-1).astype(jnp.int32)
+        cont_pred = jnp.argmax(fused['cont'], axis=-1)
+        return jnp.where(cont_pred > 0, 0, sem_pred)
 
     def __init__(self, num_classes, train_cfg=None, test_cfg=None, dtype=jnp.float32, axis_name=None):
         super().__init__(num_classes, train_cfg, test_cfg)

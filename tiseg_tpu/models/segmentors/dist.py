@@ -82,6 +82,21 @@ class DIST(BaseSegmentor):
         total, log_vars = parse_losses(losses)
         return total, (log_vars, new_state)
 
+    device_pp_supported = True  # via the override below
+
+    def inference_and_postprocess(self, variables, img, ori_hw=None):
+        """Fused device eval: inference + dynamic watershed in one jit
+        (reference dist.py:31-129 semantics via ops.dist_ws)."""
+        if not self.test_cfg.get('device_postprocess', False):
+            return None
+        import jax
+        from ...ops.dist_ws import dynamic_watershed_device
+        fused = self.inference(variables, img, ori_hw=ori_hw)
+        sem_pred = jnp.argmax(fused['sem'], axis=-1).astype(jnp.uint8)
+        dist = jnp.clip(fused['dist'][..., 0], 0, 255).astype(jnp.int32)
+        inst = jax.vmap(lambda d: dynamic_watershed_device(d, 0.0, 0.5))(dist)
+        return {'sem_pred': sem_pred, 'inst_pred': inst}
+
     def postprocess(self, fused):
         sem_pred = np.argmax(np.asarray(fused['sem']), axis=-1).astype(np.uint8)
         dist = np.asarray(fused['dist'])[..., 0].copy()

@@ -68,6 +68,8 @@ class MTCDNetNet(nn.Module):
 @SEGMENTORS.register_module()
 class MultiTaskCDNet(BaseSegmentor):
 
+    device_pp_supported = True  # via the override below
+
     def __init__(self, num_classes, train_cfg=None, test_cfg=None, dtype=jnp.float32, axis_name=None):
         super().__init__(num_classes, train_cfg, test_cfg)
         tc = self.train_cfg
@@ -255,6 +257,22 @@ class MultiTaskCDNet(BaseSegmentor):
         boundary = tc_logit[..., -1] * (1 + dd1) * weight0
         boundary = jnp.where(boundary >= 1, 0.95, boundary)
         return tc_logit.at[..., -1].set(boundary)
+
+    def inference_and_postprocess(self, variables, img, ori_hw=None):
+        """Fused device eval: TTA+DDM inference, then seed (boundary-
+        stripped tc argmax) + canvas instance recovery in the same jit."""
+        if not self.test_cfg.get('device_postprocess', False):
+            return None
+        from ...ops.pallas_sweep import mt_instance_postprocess_sweep
+        fused = self.inference(variables, img, ori_hw=ori_hw)
+        sem_pred = jnp.argmax(fused['sem'], axis=-1).astype(jnp.int32)
+        tc = jnp.argmax(fused['tc'], axis=-1).astype(jnp.int32)
+        seed = jnp.where(tc == 2, 0, tc)
+        sem_out, inst = mt_instance_postprocess_sweep(
+            sem_pred, seed, num_classes=self.num_classes,
+            sweeps=self.test_cfg.get('pp_sweeps', 16),
+            fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 4))
+        return {'sem_pred': sem_out, 'inst_pred': inst}
 
     def postprocess(self, fused):
         tc_pred = np.argmax(np.asarray(fused['tc']), axis=-1)

@@ -57,8 +57,33 @@ def _mt_postprocess(seed_mask: np.ndarray, sem_pred: np.ndarray, fill_first: boo
     return sem_canvas, inst_pred
 
 
+class _MTDevicePP:
+    """Fused device eval for the multi-task family: inference + per-class
+    canvas cleanup + seed CCL + bounded align_foreground in ONE jit
+    (ops.pallas_sweep.mt_instance_postprocess_sweep)."""
+
+    device_pp_supported = True
+
+    def _device_seed_pred(self, fused):
+        """Binary seed map for the instance CCL (subclasses strip the
+        boundary class)."""
+        return jnp.argmax(fused['aux'], axis=-1).astype(jnp.int32)
+
+    def inference_and_postprocess(self, variables, img, ori_hw=None):
+        if not self.test_cfg.get('device_postprocess', False):
+            return None
+        from ...ops.pallas_sweep import mt_instance_postprocess_sweep
+        fused = self.inference(variables, img, ori_hw=ori_hw)
+        sem_pred = jnp.argmax(fused['sem'], axis=-1).astype(jnp.int32)
+        sem_out, inst = mt_instance_postprocess_sweep(
+            sem_pred, self._device_seed_pred(fused), num_classes=self.num_classes,
+            sweeps=self.test_cfg.get('pp_sweeps', 16),
+            fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 4))
+        return {'sem_pred': sem_out, 'inst_pred': inst}
+
+
 @SEGMENTORS.register_module()
-class MultiTaskUNet(BaseSegmentor):
+class MultiTaskUNet(_MTDevicePP, BaseSegmentor):
 
     softmax_heads = ('aux', 'sem')
 
@@ -90,11 +115,15 @@ class MultiTaskUNet(BaseSegmentor):
 
 
 @SEGMENTORS.register_module()
-class MultiTaskCUNet(BaseSegmentor):
+class MultiTaskCUNet(_MTDevicePP, BaseSegmentor):
     """Aux branch predicts the 3-class boundary-aware map; instances = CCL
     of the boundary-stripped tc map, re-expanded into the semantic canvas."""
 
     softmax_heads = ('aux', 'sem')
+
+    def _device_seed_pred(self, fused):
+        tc = jnp.argmax(fused['aux'], axis=-1).astype(jnp.int32)
+        return jnp.where(tc == 2, 0, tc)
 
     def __init__(self, num_classes, train_cfg=None, test_cfg=None, dtype=jnp.float32, axis_name=None):
         super().__init__(num_classes, train_cfg, test_cfg)

@@ -242,19 +242,29 @@ def _big_component_mask_in_kernel(labels, min_size: int):
     # component has far more than min_size pixels and is kept regardless,
     # so edge masking cannot change any keep/drop decision (needs
     # H, W >= 3*min_size - 2; bg pixels self-match at the -1 sentinel but
-    # the result is ANDed with fg).
-    assert min(H, W) >= 3 * min_size - 2
+    # the result is ANDed with fg). Planes too small for that argument take
+    # the masked path below: each wrapped-in contribution is zeroed by an
+    # explicit source-index validity test, exact at any size.
+    masked = min(H, W) < 3 * min_size - 2
     lab = jnp.where(fg, labels, -1)
+    if masked:
+        ri = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
     def body_dy(i, cnt):
         dy = i - r
         row = _roll_dyn(lab, jnp.mod(dy, H), axis=0)
         w = r - jnp.abs(dy)
+        if masked:
+            valid_r = ((ri - dy) >= 0) & ((ri - dy) < H)
 
         def body_dx(j, cnt):
             dx = j - w
             sh = _roll_dyn(row, jnp.mod(dx, W), axis=1)
-            return cnt + (lab == sh).astype(jnp.int32)
+            eq = lab == sh
+            if masked:
+                eq = eq & valid_r & (((ci - dx) >= 0) & ((ci - dx) < W))
+            return cnt + eq.astype(jnp.int32)
 
         return jax.lax.fori_loop(0, 2 * w + 1, body_dx, cnt)
 
@@ -362,6 +372,87 @@ def instance_postprocess_sweep(sem_pred: jnp.ndarray, radius: int = 1, min_size:
     if squeeze:
         return sem_out[0], inst_out[0]
     return sem_out, inst_out
+
+
+def _align_foreground_in_kernel(pred, fg, time: int):
+    """Expand labeled ``pred`` into unclaimed ``fg`` pixels for up to
+    ``time - 1`` simultaneous 8-neighborhood waves (max-id tie-break) —
+    the device twin of models.utils.postprocess.align_foreground
+    (reference tiseg/models/utils/postprocess.py:123-155). Early-exits at
+    the fixpoint."""
+    offs = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx)
+
+    def cond(carry):
+        i, _, changed = carry
+        return (i < time - 1) & changed
+
+    def body(carry):
+        i, p, _ = carry
+        grown = p
+        for dy, dx in offs:
+            grown = jnp.maximum(grown, _shift2d(p, dy, dx, jnp.int32(0)))
+        new = jnp.where((p == 0) & fg & (grown > 0), grown, p)
+        return i + 1, new, jnp.any(new != p)
+
+    _, pred, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), pred, jnp.bool_(True)))
+    return pred
+
+
+def _mt_pp_plane(sem, seed, *, num_classes, min_size, sweeps, fill_sweeps, align_time):
+    """Multi-task instance recovery per plane (reference multi_task_unet.py
+    :83-105): per-class remove-small(min_size) + fill-holes into a semantic
+    canvas, 4-conn CCL of the seed map, bounded align_foreground expansion
+    of the seed labels into the canvas foreground."""
+    H, W = sem.shape
+    sem_out = jnp.zeros((H, W), jnp.int32)
+    for sem_id in range(1, num_classes):
+        mask = sem == sem_id
+        cc4 = _ccl_in_kernel(mask, sweeps, connectivity=1)
+        mask = mask & _big_component_mask_in_kernel(cc4, min_size)
+        mask = _fill_holes_in_kernel(mask, fill_sweeps)
+        sem_out = jnp.where(mask, jnp.int32(sem_id), sem_out)
+    seed_labels = _ccl_in_kernel(seed > 0, sweeps, connectivity=1)
+    inst = _align_foreground_in_kernel(seed_labels, sem_out > 0, align_time)
+    return sem_out, inst
+
+
+def _mt_pp_kernel(sem_ref, seed_ref, sem_out_ref, inst_out_ref, **kw):
+    sem_out, inst_out = _mt_pp_plane(sem_ref[0], seed_ref[0], **kw)
+    sem_out_ref[0] = sem_out
+    inst_out_ref[0] = inst_out
+
+
+@partial(jax.jit, static_argnames=('num_classes', 'min_size', 'sweeps', 'fill_sweeps', 'align_time'))
+def mt_instance_postprocess_sweep(sem_pred: jnp.ndarray, seed_mask: jnp.ndarray,
+                                  num_classes: int = 2, min_size: int = 5, sweeps: int = 8,
+                                  fill_sweeps: int = 4, align_time: int = 20):
+    """Multi-task (seed + canvas) instance recovery, one fused sweep kernel
+    per image; (H, W) or (B, H, W) inputs. Large planes take the identical
+    XLA (HBM-resident) program. Returns (sem uint8, inst int32)."""
+    squeeze = sem_pred.ndim == 2
+    if squeeze:
+        sem_pred, seed_mask = sem_pred[None], seed_mask[None]
+    B, H, W = sem_pred.shape
+    kw = dict(num_classes=num_classes, min_size=min_size, sweeps=sweeps,
+              fill_sweeps=fill_sweeps, align_time=align_time)
+    if H * W > MAX_VMEM_PLANE_SWEEP:
+        with _jnp_rolls():
+            sem_out, inst_out = jax.vmap(lambda s, d: _mt_pp_plane(s, d, **kw))(
+                sem_pred.astype(jnp.int32), seed_mask.astype(jnp.int32))
+    else:
+        sem_out, inst_out = pl.pallas_call(
+            partial(_mt_pp_kernel, **kw),
+            out_shape=(jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+                       jax.ShapeDtypeStruct((B, H, W), jnp.int32)),
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)),
+            interpret=_interpret(),
+        )(sem_pred.astype(jnp.int32), seed_mask.astype(jnp.int32))
+    sem_out = sem_out.astype(jnp.uint8)
+    return (sem_out[0], inst_out[0]) if squeeze else (sem_out, inst_out)
 
 
 @partial(jax.jit, static_argnames=('min_size', 'connectivity', 'sweeps'))

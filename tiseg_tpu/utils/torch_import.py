@@ -238,11 +238,149 @@ def import_hovernet(variables, state_dict) -> Dict:
     return m.done()
 
 
+def import_dcan(variables, state_dict) -> Dict:
+    """DCAN (reference dcan.py:74-122: norm-free VGG-like stages, stage6
+    7x7+dropout+1x1, 1x1 cell/cont taps off stages 4/5/6)."""
+    m = _Mapper(variables, state_dict)
+    for k, n in ((1, 2), (2, 2), (3, 3), (4, 3), (5, 3)):
+        for i in range(n):
+            m.conv(f'stage{k}.{i}.conv', (f'stage{k}_conv{i}', 'Conv_0'), bias=True)
+    m.conv('stage6.0.conv', ('stage6_conv0', 'Conv_0'), bias=True)
+    m.conv('stage6.2.conv', ('stage6_conv1', 'Conv_0'), bias=True)
+    for i, k in enumerate((4, 5, 6)):
+        m.conv(f'up_conv_{k}_cell.conv', (f'cell_tap{i}',), bias=True)
+        m.conv(f'up_conv_{k}_cont.conv', (f'cont_tap{i}',), bias=True)
+    return m.done()
+
+
+def import_dist(variables, state_dict) -> Dict:
+    """DIST (reference dist.py:141-209: 5 BN-conv down stages, conv->
+    bilinear-up + 2-conv up stages, sem/dist 1x1 heads)."""
+    m = _Mapper(variables, state_dict)
+    for s in range(1, 6):
+        for i in range(2):
+            m.conv_module(f'stage{s}.{i}', (f'down{s}_conv{i}',))
+    for s in range(1, 5):
+        m.conv_module(f'up_conv{s}.0', (f'upconv{s}',))
+        for i in range(2):
+            m.conv_module(f'up_stage{s}.{i}', (f'up{s}_conv{i}',))
+    m.conv('sem_head', ('sem_head',), bias=True)
+    m.conv('dist_head', ('dist_head',), bias=True)
+    return m.done()
+
+
+def _map_cbr(m: _Mapper, pt, fx, norm=True):
+    """MicroNet conv helper: mmcv ConvModule -> _ConvBNRelu (Conv_0 +
+    optional BatchNorm_0); norm-free reference convs carry a bias."""
+    if norm:
+        m.conv(pt + '.conv', fx + ('Conv_0',))
+        m.bn(pt + '.bn', fx + ('BatchNorm_0',))
+    else:
+        m.conv(pt + '.conv', fx + ('Conv_0',), bias=True)
+
+
+def import_micronet(variables, state_dict) -> Dict:
+    """MicroNet / CMicroNet (reference micronet.py:27-149, cmicronet.py:
+    97-127: DownBlocks w/ image branch, k5/s1 transposed-conv UpBlocks,
+    three DecodeBlock aux branches + fused final conv)."""
+    m = _Mapper(variables, state_dict)
+    for k in range(1, 5):
+        _map_cbr(m, f'db{k}.convs.0', (f'db{k}', 'conv1'))
+        _map_cbr(m, f'db{k}.convs.1', (f'db{k}', 'conv2'), norm=False)
+        _map_cbr(m, f'db{k}.img_convs.0', (f'db{k}', 'img_conv1'))
+        _map_cbr(m, f'db{k}.img_convs.1', (f'db{k}', 'img_conv2'), norm=False)
+    _map_cbr(m, 'db5.0', ('db5_conv1',), norm=False)
+    _map_cbr(m, 'db5.1', ('db5_conv2',), norm=False)
+    for k in range(1, 5):
+        _map_cbr(m, f'ub{k}.upsample.1', (f'ub{k}', 'up_proj'), norm=False)
+        _map_cbr(m, f'ub{k}.convs.0', (f'ub{k}', 'conv1'), norm=False)
+        _map_cbr(m, f'ub{k}.convs.1', (f'ub{k}', 'conv2'), norm=False)
+        m.tconv(f'ub{k}.in_trans_conv', (f'ub{k}', 'in_trans'), bias=True)
+        m.tconv(f'ub{k}.skip_trans_conv', (f'ub{k}', 'skip_trans'), bias=True)
+        _map_cbr(m, f'ub{k}.bottle_neck', (f'ub{k}', 'bottleneck'), norm=False)
+    for j in (1, 2, 3):
+        _map_cbr(m, f'out_branch{j}.upsample.1', (f'out{j}', 'up_proj'), norm=False)
+        _map_cbr(m, f'out_branch{j}.feed_conv', (f'out{j}', 'feed'), norm=False)
+        m.conv(f'out_branch{j}.sem_conv.conv', (f'out{j}', 'sem'), bias=True)
+    m.conv('final_sem_conv', ('final_sem',), bias=True)
+    return m.done()
+
+
+def import_fullnet(variables, state_dict) -> Dict:
+    """FullNet (reference fullnet.py:108-154: ConvLayer = conv->LeakyReLU
+    ->BN, 7 dense blocks x 6 layers + 1x1 trans, bias-free final conv)."""
+    m = _Mapper(variables, state_dict)
+
+    def clrb(pt, fx):
+        m.conv(pt + '.conv', fx + ('Conv_0',))
+        m.bn(pt + '.bn', fx + ('BatchNorm_0',))
+
+    clrb('conv1', ('conv1',))
+    for bi in range(1, 8):
+        for li in range(1, 7):
+            clrb(f'blocks.block{bi}.denselayer{li}.conv', (f'block{bi}_layer{li}',))
+        clrb(f'blocks.trans{bi}', (f'trans{bi}',))
+    m.conv('conv2', ('cls',))
+    return m.done()
+
+
+def import_multi_task_unet(variables, state_dict) -> Dict:
+    """MultiTaskUNet / MultiTaskCUNet (reference multi_task_unet.py:28-36
+    + heads/multi_task_unet_head.py:43-69: shared decode stack, RU chain
+    with sibling aux_mask/mask 1x1 classifiers)."""
+    m = _Mapper(variables, state_dict)
+    map_vgg_backbone(m)
+    for j in range(5):
+        map_unet_layer(m, f'head.decode_layers.{j}', ('head', 'decoder', f'decode{4 - j}'))
+    br = ('head', 'branches')
+    map_ru(m, 'head.postprocess.mask_feats', br + ('mask_feats',))
+    map_ru(m, 'head.postprocess.aux_mask_feats', br + ('aux_mask_feats',))
+    m.conv('head.postprocess.mask_conv', br + ('mask_conv',), bias=True)
+    m.conv('head.postprocess.aux_mask_conv', br + ('aux_mask_conv',), bias=True)
+    return m.done()
+
+
+def import_multi_task_cdnet(variables, state_dict) -> Dict:
+    """MultiTaskCDNet (reference multi_task_cdnet.py:118-146 + heads/
+    multi_task_cd_head.py:66-160, multi_task_cd_head_twobranch.py:95-131).
+    Handles serial/parallel/twobranch/noau/regression variants by key
+    presence (Identity attention modules leave no state)."""
+    m = _Mapper(variables, state_dict)
+    map_vgg_backbone(m)
+    for j in range(5):
+        map_unet_layer(m, f'head.decode_layers.{j}', ('head', 'decoder', f'decode{4 - j}'))
+    pt = 'head.postprocess'
+    dgm = ('head', 'dgm')
+    twobranch = any(k.startswith(f'{pt}.mask_all_feats.') for k in m.sd)
+    names = ['tc_mask_feats', 'mask_feats', 'dir_feats', 'point_feats']
+    if twobranch:
+        names += ['mask_all_feats', 'dir_all_feats']
+    for nm in names:
+        map_ru(m, f'{pt}.{nm}', dgm + (nm,))
+    attns = ['point_to_dir_attn', 'dir_to_tc_mask_attn'] + (['dir_to_mask_attn'] if twobranch else [])
+    for attn in attns:
+        if f'{pt}.{attn}.conv.0.weight' in m.sd:  # absent under noau
+            m.conv(f'{pt}.{attn}.conv.0', dgm + (attn, 'attn'))
+    for cv in ('point_conv', 'dir_conv', 'tc_mask_conv', 'mask_conv'):
+        m.conv(f'{pt}.{cv}', dgm + (cv,), bias=True)
+    return m.done()
+
+
 IMPORTERS = {
     'UNet': import_unet,
     'CUNet': import_cunet,
     'CDNet': import_cdnet,
     'HoverNet': import_hovernet,
+    'DCAN': import_dcan,
+    'DIST': import_dist,
+    'MicroNet': import_micronet,
+    'CMicroNet': import_micronet,
+    'FullNet': import_fullnet,
+    'MultiTaskUNet': import_multi_task_unet,
+    'MultiTaskCUNet': import_multi_task_unet,
+    'MultiTaskCUNetDebug': import_multi_task_unet,
+    'MultiTaskCDNet': import_multi_task_cdnet,
+    'MultiTaskCDNetDebug': import_multi_task_cdnet,
 }
 
 
