@@ -141,3 +141,26 @@ def test_pre_eval_device_matches_host_tables(mini_ds):
     ed, _ = ds.evaluate(dev)
     for k in eh:
         assert eh[k] == pytest.approx(ed[k], abs=0.02), (k, eh[k], ed[k])
+
+
+def test_pre_eval_device_cap_falls_back_to_host(mini_ds):
+    """Images with more instances than the device contingency cap must
+    take the (exact) host path instead of silently clipping label ids."""
+    cfg = dict(type='MoNuSegDataset', data_root=mini_ds, img_dir='images', ann_dir='annotations',
+               split='train.txt', processes=PROCESSES, test_mode=True)
+    ds = build_dataset(cfg)
+    inst_gt = np.load(ds.data_infos[0]['inst_file_name'])
+    n_gt = len(np.unique(inst_gt)) - 1
+    pred = {'sem_pred': (inst_gt > 0).astype(np.uint8), 'inst_pred': cc_label(inst_gt)}
+    # cap below the instance count -> must match host exactly (fallback)
+    dev = ds.pre_eval_device(dict(pred), 0, max_instances=max(n_gt - 1, 1))
+    host = ds.pre_eval(dict(pred), 0)
+    ed, _ = ds.evaluate(dev)
+    eh, _ = ds.evaluate(host)
+    for k in eh:
+        assert eh[k] == pytest.approx(ed[k], abs=1e-9), (k, eh[k], ed[k])
+    # at the boundary (cap == count) the device path is used and agrees
+    dev2 = ds.pre_eval_device(dict(pred), 0, max_instances=n_gt)
+    ed2, _ = ds.evaluate(dev2)
+    for k in eh:
+        assert eh[k] == pytest.approx(ed2[k], abs=0.02), (k, eh[k], ed2[k])

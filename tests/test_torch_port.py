@@ -125,3 +125,58 @@ def test_resnet50_port_feature_parity_vs_torchvision_arch():
     for i, (gg, ww) in enumerate(zip(got, feats)):
         err = float(np.abs(np.asarray(gg) - ww).max())
         assert err < 2e-4 * max(float(np.abs(ww).max()), 1.0), f'layer{i + 1}: {err}'
+
+
+def test_pretrained_dir_discovery_end_to_end(tmp_path, monkeypatch):
+    """$TISEG_PRETRAINED_DIR is the documented local weight drop: a
+    vgg16_bn*.pth placed there must be found and loaded by
+    maybe_load_pretrained (README 'pretrained weights' recipe)."""
+    from reference_compat import _vgg16_bn
+    from tiseg_tpu.models.backbones.torch_port import maybe_load_pretrained
+
+    tv = _vgg16_bn()
+    torch.save(tv.state_dict(), tmp_path / 'vgg16_bn-local.pth')
+    monkeypatch.setenv('TISEG_PRETRAINED_DIR', str(tmp_path))
+
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=dict()))
+    v = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    new = maybe_load_pretrained(seg, v)
+    want = tv.state_dict()['features.0.weight'].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(
+        np.asarray(new['params']['backbone']['stage0_conv0']['Conv_0']['kernel']), want)
+
+
+def test_real_imagenet_weights_if_cached():
+    """Activates the moment real torchvision ImageNet weights exist in the
+    documented locations (skip-if-absent: this environment has no
+    network egress to download them)."""
+    from tiseg_tpu.models.backbones.torch_port import _find_cached_state_dict
+    sd = _find_cached_state_dict('vgg16_bn')
+    if sd is None:
+        pytest.skip('no cached vgg16_bn weights (TISEG_PRETRAINED_DIR / torch hub)')
+    import jax.numpy as jnp
+    from reference_compat import _vgg16_bn
+    from tiseg_tpu.models.backbones.vgg import VGG16BN
+
+    tv = _vgg16_bn()
+    tv.load_state_dict(sd)
+    tv.eval()
+    bb = VGG16BN()
+    v = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    out = load_torchvision_vgg({'backbone': v['params']}, {'backbone': v['batch_stats']}, state_dict=sd)
+    assert out is not None
+    params, stats = out
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    got = bb.apply({'params': params['backbone'], 'batch_stats': stats['backbone']},
+                   jnp.asarray(x), train=False)
+    taps = (5, 12, 22, 32, 42, 43)
+    feats, t = [], torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        for i, mod in enumerate(tv.features):
+            t = mod(t)
+            if i in taps:
+                feats.append(t.numpy().transpose(0, 2, 3, 1))
+    for i, (gg, ww) in enumerate(zip(got, feats)):
+        err = float(np.abs(np.asarray(gg) - ww).max())
+        assert err < 2e-4 * max(float(np.abs(ww).max()), 1.0), f'stage {i}: {err}'

@@ -119,7 +119,15 @@ class CustomDataset:
         """On-device pre-eval: relabel + semantic confusion + AJI/PQ in one
         jit program per image (tiseg_tpu.ops.inst_metrics_jax); only the
         pre-eval scalars/vectors reach the host. Package layout matches
-        pre_eval, so evaluate() reduces both identically."""
+        pre_eval, so evaluate() reduces both identically.
+
+        Restrictions vs the host path (both guarded, never silent):
+        - the device contingency table is (max_instances+1)^2 — images with
+          more instances in pred or gt fall back to host pre_eval for that
+          image (a dense 1000^2 MoNuSeg tile can approach 1024);
+        - the device PQ has no Hungarian branch: exact only for the default
+          match_iou >= 0.5 where matches are unique (host
+          inst_metrics.py keeps the Hungarian for match_iou < 0.5)."""
         import jax.numpy as jnp
         from ..ops.inst_metrics_jax import pre_eval_all_device
         if not isinstance(indices, list):
@@ -129,6 +137,14 @@ class CustomDataset:
         results = []
         for pred, index in zip(preds, indices):
             sem_gt, inst_gt = self._load_gts(index)
+            n_pred = len(np.unique(np.asarray(pred['inst_pred']))) - 1
+            n_gt = len(np.unique(inst_gt)) - 1
+            if max(n_pred, n_gt) > max_instances:
+                get_logger().warning(
+                    'image %s has %d instances > device cap %d; using host pre_eval',
+                    index, max(n_pred, n_gt), max_instances)
+                results.extend(self.pre_eval([pred], [index]))
+                continue
             data_id = osp.basename(self.data_infos[index]['sem_file_name']).replace(self.sem_suffix, '')
             sem, aji, pq = pre_eval_all_device(
                 jnp.asarray(np.asarray(pred['sem_pred']).astype(np.int32)),

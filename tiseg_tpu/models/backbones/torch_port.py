@@ -27,17 +27,22 @@ _VGG16_FEATURE_IDX = {
 
 
 def _find_cached_state_dict(model_name: str):
+    """Search the documented weight locations: $TISEG_PRETRAINED_DIR (if
+    set) then the torch hub cache. Files must be named
+    <model_name>*.pth (torchvision download names qualify)."""
     try:
         import torch
     except ImportError:
         return None
-    hub_dir = osp.expanduser('~/.cache/torch/hub/checkpoints')
-    if not osp.isdir(hub_dir):
-        return None
     import os
-    for f in os.listdir(hub_dir):
-        if f.startswith(model_name.replace('_bn', '_bn')) and f.endswith('.pth'):
-            return torch.load(osp.join(hub_dir, f), map_location='cpu')
+    dirs = [d for d in (os.environ.get('TISEG_PRETRAINED_DIR'),
+                        osp.expanduser('~/.cache/torch/hub/checkpoints')) if d]
+    for hub_dir in dirs:
+        if not osp.isdir(hub_dir):
+            continue
+        for f in sorted(os.listdir(hub_dir)):
+            if f.startswith(model_name) and f.endswith('.pth'):
+                return torch.load(osp.join(hub_dir, f), map_location='cpu')
     return None
 
 
