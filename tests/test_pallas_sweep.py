@@ -53,6 +53,39 @@ def test_instance_postprocess_sweep_batched():
         assert partition_bijective(host_inst, np.asarray(got_inst[i]))
 
 
+def multiclass_blobs(seed, hw=96, n=30, rmax=7, num_classes=7):
+    rng = np.random.default_rng(seed)
+    sem = np.zeros((hw, hw), np.int32)
+    yy, xx = np.ogrid[:hw, :hw]
+    for _ in range(n):
+        cy, cx = rng.integers(0, hw, 2)
+        r = rng.integers(2, rmax)
+        sem[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = rng.integers(1, num_classes)
+    return sem
+
+
+@pytest.mark.parametrize('seed', [0, 2])
+def test_multiclass_vectorized_matches_host_and_perclass(seed):
+    """The single-pass class-vectorized pipeline must reproduce both the
+    host oracle and the per-class device loop on 7-class maps (incl.
+    touching different-class blobs and ring-shaped holes)."""
+    sem = multiclass_blobs(seed)
+    # add a ring with a hole (fill path) touching another class
+    yy, xx = np.ogrid[:96, :96]
+    d2 = (yy - 48) ** 2 + (xx - 48) ** 2
+    sem[(d2 <= 144) & (d2 >= 49)] = 3
+    host_sem, host_inst = instance_postprocess(sem.astype(np.uint8), radius=1)
+    vec_sem, vec_inst = instance_postprocess_sweep(jnp.asarray(sem), radius=1, num_classes=7,
+                                                   sweeps=16, fill_sweeps=8)
+    loop_sem, loop_inst = instance_postprocess_sweep(jnp.asarray(sem), radius=1, num_classes=7,
+                                                     sweeps=16, fill_sweeps=8,
+                                                     multiclass_vectorized=False)
+    np.testing.assert_array_equal(np.asarray(vec_sem), host_sem)
+    np.testing.assert_array_equal(np.asarray(vec_sem), np.asarray(loop_sem))
+    assert partition_bijective(host_inst, np.asarray(vec_inst))
+    assert partition_bijective(np.asarray(loop_inst), np.asarray(vec_inst))
+
+
 def test_instance_postprocess_sweep_small_plane_large_min_size():
     """Planes with min(H, W) < 3*min_size - 2 take the masked-roll size
     filter (exact at any size; the unmasked wraparound argument doesn't

@@ -128,7 +128,7 @@ def _shift2d(x, dy: int, dx: int, fill):
 _DIAGS = ((1, 1), (1, -1), (-1, 1), (-1, -1))
 
 
-def _ccl_in_kernel(mask, sweeps: int, connectivity: int, seed=None, runlens=None):
+def _ccl_in_kernel(mask, sweeps: int, connectivity: int, seed=None, runlens=None, same=None, big=None):
     """Min-index connected-component labels of a boolean (H, W) plane.
 
     Exact when ``sweeps`` >= the number of row/col direction changes (plus
@@ -144,9 +144,14 @@ def _ccl_in_kernel(mask, sweeps: int, connectivity: int, seed=None, runlens=None
 
     ``runlens``: optional precomputed (Lr_f, Lr_b, Lc_f, Lc_b) for this
     mask, saving the 4 log-doubling passes (~30% of a CCL call).
+
+    ``same``: optional int plane defining run identity (class-vectorized
+    mode): diagonal links only join pixels with equal ``same`` values (the
+    row/col scans already respect it when class-aware runlens are passed).
+    ``big`` overrides the sentinel when seeds exceed H*W (class offsets).
     """
     H, W = mask.shape
-    big = jnp.int32(H * W + 2)
+    big = jnp.int32(H * W + 2 if big is None else big)
     if runlens is not None:
         Lr_f, Lr_b, Lc_f, Lc_b = runlens
     else:
@@ -167,7 +172,10 @@ def _ccl_in_kernel(mask, sweeps: int, connectivity: int, seed=None, runlens=None
         if connectivity == 2:
             acc = labels
             for dy, dx in _DIAGS:
-                acc = jnp.minimum(acc, _shift2d(labels, dy, dx, big))
+                sh = _shift2d(labels, dy, dx, big)
+                if same is not None:
+                    sh = jnp.where(_shift2d(same, dy, dx, jnp.int32(-1)) == same, sh, big)
+                acc = jnp.minimum(acc, sh)
             labels = jnp.where(mask, acc, big)
         return labels
 
@@ -281,6 +289,104 @@ def _disk_offsets(radius: int):
     return tuple(offs)
 
 
+def _runlen_eq(plane, axis: int, backward: bool = False, fg=None):
+    """Run lengths where runs are maximal segments of EQUAL plane values
+    (restricted to ``fg``; default: plane > 0). L[i] = pixels from i to its
+    run boundary (inclusive), 0 outside fg — the class-aware analog of
+    :func:`_runlen` for the vectorized multi-class sweep."""
+    fg = plane > 0 if fg is None else fg
+    nb = _shift(plane, -1 if backward else 1, axis, jnp.int32(-1))
+    nb_fg = _shift(fg.astype(jnp.int32), -1 if backward else 1, axis, jnp.int32(0)) > 0
+    conn = fg & nb_fg & (nb == plane)
+    R = _runlen(conn, axis, backward=backward)
+    return jnp.where(fg, R + 1, 0)
+
+
+def _seg_run_or(v, g_fwd, g_bwd, axis: int):
+    """Bitwise-OR over each equal-value run (the OR analog of
+    :func:`_seg_run_min`; same guarded log-doubling argument)."""
+    n = v.shape[axis]
+    for g, c in zip(g_fwd, _log2_steps(n)):
+        v = jnp.where(g, v | _roll(v, c, axis), v)
+    for g, c in zip(g_bwd, _log2_steps(n)):
+        v = jnp.where(g, v | _roll(v, -c, axis), v)
+    return v
+
+
+def _border_reach_bits(sem, num_classes: int, sweeps: int):
+    """reach[p] bit (c-1) set <=> p is 4-conn reachable from the image
+    border via pixels that are NOT class c (p included). ~bit(c-1) then
+    marks class-c holes for ALL classes in one int32 flood: within-run OR
+    scans (runs = equal-sem segments, background included) plus 1-pixel
+    hops across run boundaries each sweep, to the monotone fixpoint."""
+    H, W = sem.shape
+    full = jnp.int32((1 << (num_classes - 1)) - 1)
+    allowed = jnp.where(sem > 0, full & ~(jnp.int32(1) << jnp.maximum(sem - 1, 0)), full)
+    ones = jnp.ones((H, W), bool)
+    rl = (_runlen_eq(sem, 1, fg=ones), _runlen_eq(sem, 1, backward=True, fg=ones),
+          _runlen_eq(sem, 0, fg=ones), _runlen_eq(sem, 0, backward=True, fg=ones))
+    gr_f, gr_b = _guards(rl[0], W), _guards(rl[1], W)
+    gc_f, gc_b = _guards(rl[2], H), _guards(rl[3], H)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    border = (ri == 0) | (ri == H - 1) | (ci == 0) | (ci == W - 1)
+    v = jnp.where(border, allowed, jnp.int32(0))
+
+    def cond(carry):
+        i, _, changed = carry
+        return (i < sweeps) & changed
+
+    def body(carry):
+        i, v, _ = carry
+        nv = allowed & _seg_run_or(v, gr_f, gr_b, 1)
+        nv = allowed & _seg_run_or(nv, gc_f, gc_b, 0)
+        acc = nv
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            acc = acc | _shift2d(nv, dy, dx, jnp.int32(0))
+        nv = nv | (allowed & acc)
+        return i + 1, nv, jnp.any(nv != v)
+
+    _, v, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), v, jnp.bool_(True)))
+    return v
+
+
+def _multiclass_pp_plane(sem, *, num_classes, radius, min_size, sweeps, fill_sweeps):
+    """Class-VECTORIZED instance pipeline: one bitmask flood fills every
+    class's holes at once; class-offset seeds + class-aware runs let a
+    single CCL -> size-filter -> CCL -> dilation pass cover all classes
+    (cross-class conflicts resolve to the higher class automatically, the
+    same resolution the per-class loop's ascending overwrite produces).
+
+    Exactness caveat vs the per-class loop: when one class's filled hole
+    region is disconnected from its source component by ANOTHER class's
+    overlapping fill (nested multi-class enclosures), component splits can
+    differ. Argmax semantic maps don't produce such nestings; the
+    per-class path remains available via multiclass_vectorized=False.
+    """
+    H, W = sem.shape
+    reach = _border_reach_bits(sem, num_classes, fill_sweeps)
+    filled_sem = jnp.zeros((H, W), jnp.int32)
+    for c in range(1, num_classes):  # ascending: highest class wins overlaps
+        filled = (sem == c) | (((reach >> (c - 1)) & 1) == 0)
+        filled_sem = jnp.where(filled, jnp.int32(c), filled_sem)
+    fg = filled_sem > 0
+    big = (num_classes - 1) * H * W + 2
+    rl = (_runlen_eq(filled_sem, 1), _runlen_eq(filled_sem, 1, backward=True),
+          _runlen_eq(filled_sem, 0), _runlen_eq(filled_sem, 0, backward=True))
+    ri = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    seed = ri * W + ci + 1 + jnp.maximum(filled_sem - 1, 0) * (H * W)
+    cc4 = _ccl_in_kernel(fg, sweeps, 1, seed=seed, runlens=rl, big=big)
+    mask = fg & _big_component_mask_in_kernel(cc4, min_size)
+    rl = tuple(jnp.where(mask, L, 0) for L in rl)
+    inst0 = _ccl_in_kernel(mask, sweeps, 2, seed=cc4, runlens=rl, same=filled_sem, big=big)
+    inst = inst0
+    for dy, dx in _disk_offsets(radius):
+        inst = jnp.maximum(inst, _shift2d(inst0, dy, dx, jnp.int32(0)))
+    sem_out = jnp.where(inst > 0, (inst - 1) // (H * W) + 1, 0)
+    return sem_out, inst
+
+
 def _instance_pp_plane(sem, *, num_classes, radius, min_size, sweeps, fill_sweeps):
     """The full per-plane pipeline; used both inside the fused kernel and
     (with jnp rolls) as a plain XLA program for large planes."""
@@ -311,14 +417,12 @@ def _instance_pp_plane(sem, *, num_classes, radius, min_size, sweeps, fill_sweep
     return sem_out, inst_out
 
 
-def _fused_pp_xla(sem, **kw):
-    return _instance_pp_plane(sem, **kw)
+def _fused_pp_xla(sem, plane_fn=None, **kw):
+    return (plane_fn or _instance_pp_plane)(sem, **kw)
 
 
-def _fused_pp_kernel(sem_ref, sem_out_ref, inst_out_ref, *, num_classes, radius, min_size,
-                     sweeps, fill_sweeps):
-    sem_out, inst_out = _instance_pp_plane(sem_ref[0], num_classes=num_classes, radius=radius,
-                                           min_size=min_size, sweeps=sweeps, fill_sweeps=fill_sweeps)
+def _fused_pp_kernel(sem_ref, sem_out_ref, inst_out_ref, *, plane_fn, **kw):
+    sem_out, inst_out = plane_fn(sem_ref[0], **kw)
     sem_out_ref[0] = sem_out
     inst_out_ref[0] = inst_out
 
@@ -328,9 +432,11 @@ def _fused_pp_kernel(sem_ref, sem_out_ref, inst_out_ref, *, num_classes, radius,
 MAX_VMEM_PLANE_SWEEP = 512 * 512
 
 
-@partial(jax.jit, static_argnames=('radius', 'min_size', 'num_classes', 'sweeps', 'fill_sweeps'))
+@partial(jax.jit, static_argnames=('radius', 'min_size', 'num_classes', 'sweeps', 'fill_sweeps',
+                                   'multiclass_vectorized'))
 def instance_postprocess_sweep(sem_pred: jnp.ndarray, radius: int = 1, min_size: int = 5,
-                               num_classes: int = 2, sweeps: int = 8, fill_sweeps: int = 4):
+                               num_classes: int = 2, sweeps: int = 8, fill_sweeps: int = 4,
+                               multiclass_vectorized: bool = True):
     """UNet-family instance recovery, one fused sweep kernel per image.
 
     Semantics match tiseg_tpu.ops.ccl.instance_postprocess_device (and the
@@ -344,22 +450,29 @@ def instance_postprocess_sweep(sem_pred: jnp.ndarray, radius: int = 1, min_size:
     Planes larger than the VMEM working set (e.g. 1000x1000 whole-image
     MoNuSeg eval) run the identical algorithm as an XLA program with
     HBM-resident planes — same exactness contract, no 512^2 cap.
+
+    ``multiclass_vectorized``: with num_classes > 2 run the single-pass
+    class-vectorized pipeline (one bitmask hole flood + one class-offset
+    CCL chain) instead of the (num_classes-1)-iteration per-class loop —
+    the CoNIC 7-class post-proc cost then no longer scales with the class
+    count (see _multiclass_pp_plane for the nested-enclosure caveat).
     """
     squeeze = sem_pred.ndim == 2
     if squeeze:
         sem_pred = sem_pred[None]
     B, H, W = sem_pred.shape
+    plane_fn = _multiclass_pp_plane if (num_classes > 2 and multiclass_vectorized) else _instance_pp_plane
     if H * W > MAX_VMEM_PLANE_SWEEP:
         with _jnp_rolls():
             sem_out, inst_out = jax.vmap(
-                lambda s: _fused_pp_xla(s, num_classes=num_classes, radius=radius,
+                lambda s: _fused_pp_xla(s, plane_fn=plane_fn, num_classes=num_classes, radius=radius,
                                         min_size=min_size, sweeps=sweeps,
                                         fill_sweeps=fill_sweeps))(sem_pred.astype(jnp.int32))
         sem_out = sem_out.astype(jnp.uint8)
         return (sem_out[0], inst_out[0]) if squeeze else (sem_out, inst_out)
     sem_out, inst_out = pl.pallas_call(
-        partial(_fused_pp_kernel, num_classes=num_classes, radius=radius, min_size=min_size,
-                sweeps=sweeps, fill_sweeps=fill_sweeps),
+        partial(_fused_pp_kernel, plane_fn=plane_fn, num_classes=num_classes, radius=radius,
+                min_size=min_size, sweeps=sweeps, fill_sweeps=fill_sweeps),
         out_shape=(jax.ShapeDtypeStruct((B, H, W), jnp.int32),
                    jax.ShapeDtypeStruct((B, H, W), jnp.int32)),
         grid=(B,),
