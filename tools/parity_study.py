@@ -1,0 +1,349 @@
+#!/usr/bin/env python
+"""Multi-seed trained-accuracy parity study: UNet / CDNet / HoverNet
+(VERDICT r2 item 3 — strengthen docs/PARITY.md from n=2 UNet seeds to a
+defensible multi-seed, multi-model claim with the reference eval protocol).
+
+Per (model, seed): the torch reference is initialized (torch.manual_seed),
+the init is imported into the Flax model (utils.torch_import), both train
+on IDENTICAL synthetic-nuclei batch sequences, and both are evaluated with
+the SAME protocol — sliding-window (window 64 / overlap 16 on 96^2 images,
+scaled-down reference geometry) x 8-view dihedral TTA -> softmax-mean ->
+argmax -> host instance post-processing -> AJI/Dice/PQ. The protocol is
+one shared numpy implementation driving each framework's patch forward, so
+no engine difference can leak into the comparison.
+
+Sides run as separate invocations (--side torch|jax) so the slow torch-CPU
+runs can queue in the background; each appends one JSON line to --out.
+
+Usage:
+  python tools/parity_study.py --model UNet --seed 0 --steps 1000 --side torch --out /tmp/parity.jsonl
+  python tools/parity_study.py --summarize /tmp/parity.jsonl  # mean+-std table
+"""
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, osp.join(ROOT, 'tests'))
+sys.path.insert(0, osp.join(ROOT, 'tools'))
+
+import numpy as np
+
+from parity_train import make_image
+
+WS, OS = 64, 16
+VIEWS = [(d, f) for d in (0, 90) for f in ('none', 'horizontal', 'vertical', 'diagonal')]
+
+MODEL_CFG = {
+    'UNet': dict(bs=4, lr=1e-4, strip=None, radius=1),
+    'CDNet': dict(bs=4, lr=1e-4, strip=2, radius=3),
+    'HoverNet': dict(bs=2, lr=1e-4, strip=None, radius=1),
+}
+
+
+# ---------------------------------------------------------------------------
+# data + labels
+# ---------------------------------------------------------------------------
+
+def build_items(model, n, seed0, hw):
+    from tiseg_tpu.datasets.ops.label_maps import (BoundLabelMake, DirectionLabelMake, HVLabelMake,
+                                                   UNetLabelMake)
+    items = []
+    for i in range(n):
+        img, sem, inst = make_image(seed0 + i, hw=hw)
+        data = {'img': img, 'sem_gt': sem.astype(np.int32), 'inst_gt': inst, 'seg_fields': ['sem_gt']}
+        if model == 'UNet':
+            data = UNetLabelMake()(data)
+        elif model == 'CDNet':
+            data = BoundLabelMake(edge_id=2, selem_radius=(3, 3))(data)
+            data = DirectionLabelMake()(data)
+        elif model == 'HoverNet':
+            data = HVLabelMake()(data)
+        data['img'], data['inst_gt'] = img, inst
+        items.append(data)
+    return items
+
+
+def torch_label_batch(model, items, idx):
+    import torch
+    st = lambda k, dt: torch.from_numpy(np.stack([items[i][k] for i in idx]).astype(dt))
+    if model == 'UNet':
+        return {'sem_gt_inner': st('sem_gt_inner', np.int64)[:, None],
+                'loss_weight_map': st('loss_weight_map', np.float32)}
+    if model == 'CDNet':
+        return {'sem_gt_w_bound': st('sem_gt_w_bound', np.int64)[:, None],
+                'dir_gt': st('dir_gt', np.int64)[:, None],
+                'point_gt': st('point_gt', np.float32)[:, None]}
+    # HoverNet: our HVLabelMake emits (H, W, 2); reference consumes (B, 2, H, W)
+    hv = np.stack([items[i]['hv_gt'] for i in idx]).astype(np.float32).transpose(0, 3, 1, 2)
+    return {'sem_gt': st('sem_gt', np.int64)[:, None], 'hv_gt': torch.from_numpy(hv)}
+
+
+def jax_label_batch(model, items, idx):
+    st = lambda k, dt: np.stack([items[i][k] for i in idx]).astype(dt)
+    if model == 'UNet':
+        return {'sem_gt_inner': st('sem_gt_inner', np.int32),
+                'loss_weight_map': st('loss_weight_map', np.float32)}
+    if model == 'CDNet':
+        return {'sem_gt_w_bound': st('sem_gt_w_bound', np.int32),
+                'dir_gt': st('dir_gt', np.int32), 'point_gt': st('point_gt', np.float32)}
+    return {'sem_gt': st('sem_gt', np.int32), 'hv_gt': st('hv_gt', np.float32)}
+
+
+# ---------------------------------------------------------------------------
+# shared eval protocol (numpy sliding + TTA driving a patch callback)
+# ---------------------------------------------------------------------------
+
+def _pad_amount(size, ws, os_):
+    if size - ws > 0:
+        rem = (size - ws) % (ws - os_)
+        return (ws - os_) - rem if rem else 0
+    return ws - size
+
+
+def _offsets(size1, ws, os_):
+    return list(range(0, size1 - os_, ws - os_)) if size1 > ws else [0]
+
+
+def np_split_inference(calc, img):
+    """img (H, W, 3) -> (H, W, K); half-overlap-discard stitching, the
+    reference geometry (tiseg/models/segmentors/base.py:255-302)."""
+    H, W = img.shape[:2]
+    ph, pw = _pad_amount(H, WS, OS), _pad_amount(W, WS, OS)
+    H1, W1 = H + ph, W + pw
+    canvas = np.zeros((H1, W1, 3), img.dtype)
+    canvas[ph // 2:ph // 2 + H, pw // 2:pw // 2 + W] = img
+    i_offs, j_offs = _offsets(H1, WS, OS), _offsets(W1, WS, OS)
+    out = None
+    for ii, i in enumerate(i_offs):
+        for jj, j in enumerate(j_offs):
+            logit = calc(canvas[i:i + WS, j:j + WS])
+            if out is None:
+                out = np.zeros((H1, W1, logit.shape[-1]), np.float32)
+            si = i + OS // 2 if ii > 0 else 0
+            ei = i + WS - OS // 2 if ii < len(i_offs) - 1 else H1
+            sj = j + OS // 2 if jj > 0 else 0
+            ej = j + WS - OS // 2 if jj < len(j_offs) - 1 else W1
+            out[si:ei, sj:ej] = logit[si - i:ei - i, sj - j:ej - j]
+    return out[ph // 2:ph // 2 + H, pw // 2:pw // 2 + W]
+
+
+def _softmax(x):
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def _tta(img, rot, flip):
+    x = np.rot90(img, k=(rot // 90) % 4, axes=(0, 1))
+    if flip == 'horizontal':
+        x = x[:, ::-1]
+    elif flip == 'vertical':
+        x = x[::-1]
+    elif flip == 'diagonal':
+        x = x[::-1, ::-1]
+    return np.ascontiguousarray(x)
+
+
+def _untta(x, rot, flip):
+    if flip == 'horizontal':
+        x = x[:, ::-1]
+    elif flip == 'vertical':
+        x = x[::-1]
+    elif flip == 'diagonal':
+        x = x[::-1, ::-1]
+    return np.ascontiguousarray(np.rot90(x, k=4 - (rot // 90) % 4, axes=(0, 1)))
+
+
+def protocol_eval(calc, val_items, strip, radius):
+    from tiseg_tpu.models.segmentors.unet import instance_postprocess
+    from tiseg_tpu.utils.metrics.inst_metrics import (pre_eval_bin_aji, pre_eval_bin_pq,
+                                                      pre_eval_to_bin_aji, pre_eval_to_bin_pq)
+    from tiseg_tpu.utils.metrics.sem_metrics import pre_eval_all_semantic_metric, pre_eval_to_sem_metrics
+    ajis, pqs, sems = [], [], []
+    for it in val_items:
+        acc = None
+        for rot, flip in VIEWS:
+            v = np_split_inference(calc, _tta(it['img'], rot, flip))
+            v = _softmax(_untta(v, rot, flip))
+            acc = v if acc is None else acc + v
+        sem_pred = np.argmax(acc / len(VIEWS), axis=-1).astype(np.uint8)
+        if strip is not None:
+            sem_pred[sem_pred == strip] = 0
+        sem_pred, inst_pred = instance_postprocess(sem_pred, radius=radius)
+        ajis.append(pre_eval_bin_aji(inst_pred, it['inst_gt']))
+        pqs.append(pre_eval_bin_pq(inst_pred, it['inst_gt']))
+        sems.append(pre_eval_all_semantic_metric((sem_pred > 0).astype(np.uint8),
+                                                 (it['inst_gt'] > 0).astype(np.uint8), 2))
+    aji = pre_eval_to_bin_aji(ajis)['Aji']
+    pq = pre_eval_to_bin_pq(pqs)
+    dice = float(np.asarray(pre_eval_to_sem_metrics(sems, metrics=['Dice'])['Dice']).ravel()[-1])
+    return {'Dice': float(dice), 'Aji': float(aji), 'DQ': float(pq['DQ']),
+            'SQ': float(pq['SQ']), 'PQ': float(pq['PQ'])}
+
+
+# ---------------------------------------------------------------------------
+# sides
+# ---------------------------------------------------------------------------
+
+def init_path(model, seed):
+    return f'/tmp/parity_init_{model}_{seed}.pth'
+
+
+def run_torch(model, seed, steps, hw, n_train, train_items, val_items, order):
+    import torch
+    torch.set_num_threads(1)
+    orig_arange = torch.arange
+
+    def _arange(*a, **kw):  # reference hover_loss hardcodes device='cuda'
+        if kw.get('device') == 'cuda':
+            kw['device'] = 'cpu'
+        return orig_arange(*a, **kw)
+
+    torch.arange = _arange
+    from reference_compat import load_reference_models
+    load_reference_models()
+    from tiseg.models import build_segmentor as ref_build
+    cfg = MODEL_CFG[model]
+    torch.manual_seed(seed)
+    ref = ref_build(dict(type=model, num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')))
+    torch.save(ref.state_dict(), init_path(model, seed))
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg['lr'])
+    ref.train()
+    t0 = time.time()
+    for s in range(steps):
+        idx = order[s]
+        img = torch.from_numpy(np.stack([train_items[i]['img'] for i in idx]).transpose(0, 3, 1, 2))
+        losses = ref.forward({'img': img}, torch_label_batch(model, train_items, idx))
+        loss = sum(v for k, v in losses.items() if 'loss' in k)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if s % 100 == 0:
+            print(f'[torch {model} s{seed}] step {s}: loss {float(loss):.4f} ({time.time() - t0:.0f}s)',
+                  flush=True)
+    ref.eval()
+
+    def calc(patch):
+        with torch.no_grad():
+            out = ref.calculate(torch.from_numpy(patch.transpose(2, 0, 1)[None]))
+        out = out[0] if isinstance(out, (tuple, list)) else out
+        return out.numpy()[0].transpose(1, 2, 0)
+
+    return protocol_eval(calc, val_items, cfg['strip'], cfg['radius'])
+
+
+def run_jax(model, seed, steps, hw, n_train, train_items, val_items, order):
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/tmp/tiseg_jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import optax
+    import torch
+    from tiseg_tpu.models import build_segmentor
+    from tiseg_tpu.utils.torch_import import import_reference_checkpoint
+    cfg = MODEL_CFG[model]
+    seg = build_segmentor(dict(type=model, num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(hw, hw))
+    init_sd = torch.load(init_path(model, seed), map_location='cpu')
+    variables = import_reference_checkpoint(model, variables, init_sd)
+    params, batch_stats = variables['params'], variables['batch_stats']
+    tx = optax.adam(cfg['lr'])
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, batch_stats, opt_state, img, label):
+        def loss_fn(p):
+            batch = {'data': {'img': img}, 'label': label}
+            total, (logs, new_state) = seg.loss({'params': p, 'batch_stats': batch_stats}, batch,
+                                                rng=jax.random.PRNGKey(0))
+            return total, new_state['batch_stats']
+
+        (total, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state2, total
+
+    t0 = time.time()
+    for s in range(steps):
+        idx = order[s]
+        img = jnp.asarray(np.stack([train_items[i]['img'] for i in idx]))
+        label = {k: jnp.asarray(v) for k, v in jax_label_batch(model, train_items, idx).items()}
+        params, batch_stats, opt_state, total = step_fn(params, batch_stats, opt_state, img, label)
+        if s % 100 == 0:
+            print(f'[jax {model} s{seed}] step {s}: loss {float(total):.4f} ({time.time() - t0:.0f}s)',
+                  flush=True)
+    variables = {'params': params, 'batch_stats': batch_stats}
+    fwd = jax.jit(lambda im: seg.forward_heads(variables, im)['sem'])
+
+    def calc(patch):
+        return np.asarray(fwd(jnp.asarray(patch[None])), np.float32)[0]
+
+    return protocol_eval(calc, val_items, cfg['strip'], cfg['radius'])
+
+
+def summarize(path):
+    rows = [json.loads(l) for l in open(path) if l.strip()]
+    keys = ('Dice', 'Aji', 'DQ', 'SQ', 'PQ')
+    out = ['| model | n seeds | side | ' + ' | '.join(keys) + ' |',
+           '|---|---|---|' + '---|' * len(keys)]
+    for model in sorted({r['model'] for r in rows}):
+        for side in ('torch', 'jax'):
+            sel = [r for r in rows if r['model'] == model and r['side'] == side]
+            if not sel:
+                continue
+            cells = []
+            for k in keys:
+                vals = np.array([r['metrics'][k] for r in sel]) * 100
+                cells.append(f'{vals.mean():.2f}±{vals.std(ddof=1) if len(vals) > 1 else 0:.2f}')
+            out.append(f'| {model} | {len(sel)} | {side} | ' + ' | '.join(cells) + ' |')
+        both = [(r['seed'], r['metrics']['Aji']) for r in rows if r['model'] == model]
+    print('\n'.join(out))
+    # per-seed paired diffs (jax - torch)
+    for model in sorted({r['model'] for r in rows}):
+        t = {r['seed']: r['metrics'] for r in rows if r['model'] == model and r['side'] == 'torch'}
+        j = {r['seed']: r['metrics'] for r in rows if r['model'] == model and r['side'] == 'jax'}
+        common = sorted(set(t) & set(j))
+        if common:
+            d = np.array([[j[s][k] - t[s][k] for k in keys] for s in common]) * 100
+            print(f'{model}: paired diff (jax-torch, pts) over seeds {common}:')
+            for i, k in enumerate(keys):
+                print(f'  {k}: mean {d[:, i].mean():+.2f} ± {d[:, i].std(ddof=1) if len(common) > 1 else 0:.2f}')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model', default='UNet', choices=list(MODEL_CFG))
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--steps', type=int, default=1000)
+    ap.add_argument('--hw', type=int, default=96)
+    ap.add_argument('--n-train', type=int, default=48)
+    ap.add_argument('--n-val', type=int, default=16)
+    ap.add_argument('--side', choices=('torch', 'jax'))
+    ap.add_argument('--out', default='/tmp/parity_study.jsonl')
+    ap.add_argument('--summarize', default=None)
+    args = ap.parse_args()
+    if args.summarize:
+        summarize(args.summarize)
+        return
+
+    train_items = build_items(args.model, args.n_train, 1000, args.hw)
+    val_items = build_items(args.model, args.n_val, 9000, args.hw)
+    rng = np.random.default_rng(args.seed)
+    order = [rng.choice(args.n_train, MODEL_CFG[args.model]['bs'], replace=False)
+             for _ in range(args.steps)]
+    fn = run_torch if args.side == 'torch' else run_jax
+    metrics = fn(args.model, args.seed, args.steps, args.hw, args.n_train, train_items, val_items, order)
+    row = {'model': args.model, 'seed': args.seed, 'side': args.side, 'steps': args.steps,
+           'metrics': metrics}
+    print(json.dumps(row))
+    with open(args.out, 'a') as f:
+        f.write(json.dumps(row) + '\n')
+
+
+if __name__ == '__main__':
+    main()
