@@ -301,7 +301,10 @@ def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8, hw: int = 256):
                           dtype=jnp.bfloat16)
     variables = seg.init_variables(jax.random.PRNGKey(0), hw=(hw, hw))
     schedule = build_lr_schedule(dict(policy='fixed'), 1e-4, 1, 100)
-    tx = build_optimizer(dict(type='Adam', lr=1e-4, weight_decay=5e-4), schedule)
+    opt_cfg = dict(type='Adam', lr=1e-4, weight_decay=5e-4)
+    if os.environ.get('BENCH_MU_DTYPE'):  # e.g. bfloat16 first moment
+        opt_cfg['mu_dtype'] = os.environ['BENCH_MU_DTYPE']
+    tx = build_optimizer(opt_cfg, schedule)
     state = TrainState.create(variables['params'], variables['batch_stats'], tx)
 
     rng = np.random.default_rng(0)
@@ -322,9 +325,10 @@ def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8, hw: int = 256):
         grads, (logs, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads).replace(batch_stats=new_model_state['batch_stats'])
 
-    @jax.jit
-    def chain(state):
+    def _chain(state):
         return jax.lax.fori_loop(0, iters, lambda i, st: one_step(st), state)
+
+    chain = jit_tuned(_chain, state)
 
     @jax.jit
     def trivial(x):

@@ -66,14 +66,23 @@ class BoundLabelMake:
 
         sem_gt_w_bound = sem_gt.copy()
         assert np.allclose(sem_gt > 0, inst_gt > 0)
-        d0 = m.diamond(self.radius[0])
-        d1 = m.diamond(self.radius[1])
-        pad = max(self.radius) + 1
-        for inst_id, sl in instance_boxes(inst_gt):
-            view = _pad_slices(sl, pad, inst_gt.shape)
-            mask = inst_gt[view] == inst_id
-            bound = m.dilation(mask, d0) & (~m.erosion(mask, d1))
-            sem_gt_w_bound[view][bound] = self.edge_id
+        bound_native = None
+        try:  # native twin: two L1 distance transforms per instance bbox
+            from ... import native
+            bound_native = native.bound_map(inst_gt, self.radius[0], self.radius[1])
+        except Exception:
+            pass
+        if bound_native is not None:
+            sem_gt_w_bound[bound_native] = self.edge_id
+        else:
+            d0 = m.diamond(self.radius[0])
+            d1 = m.diamond(self.radius[1])
+            pad = max(self.radius) + 1
+            for inst_id, sl in instance_boxes(inst_gt):
+                view = _pad_slices(sl, pad, inst_gt.shape)
+                mask = inst_gt[view] == inst_id
+                bound = m.dilation(mask, d0) & (~m.erosion(mask, d1))
+                sem_gt_w_bound[view][bound] = self.edge_id
 
         data['sem_gt_w_bound'] = sem_gt_w_bound
         data['seg_fields'].append('sem_gt_w_bound')
@@ -90,6 +99,13 @@ class UNetLabelMake:
         self.sigma = sigma
 
     def _remove_1px_boundary(self, inst_gt):
+        try:  # native twin (tiseg_tpu/native/labelmaps.cpp), exact
+            from ... import native
+            out = native.remove_1px_boundary(inst_gt)
+            if out is not None:
+                return out
+        except Exception:
+            pass
         new = np.zeros(inst_gt.shape[:2], np.int32)
         d1 = m.diamond(1)
         for inst_id, sl in instance_boxes(inst_gt):
@@ -105,6 +121,13 @@ class UNetLabelMake:
     def _get_weight_map(self, ann, inst_list):
         if len(inst_list) <= 1:
             return np.zeros(ann.shape[:2])
+        try:  # native twin: per-instance exact Felzenszwalb EDTs in C++
+            from ... import native
+            out = native.unet_weight_map(ann, int(np.max(ann)), self.TRUNC, self.w0, self.sigma)
+            if out is not None:
+                return out.astype(np.float64)
+        except Exception:
+            pass
         # running nearest / second-nearest instance-border distances, each
         # instance's EDT computed only on its padded bbox (exact within the
         # truncation radius; see TRUNC)
@@ -224,11 +247,21 @@ class DirectionLabelMake:
         point_map = np.zeros((H, W), dtype=np.float32)
 
         boxes = instance_boxes(instance_map)
+        all_centers = None
+        try:  # one native call for every id beats per-crop ctypes calls
+            from ... import native
+            if boxes:
+                all_centers = native.all_centerpoints(instance_map, int(max(k for k, _ in boxes)))
+        except Exception:
+            pass
         for k, sl in boxes:
             view = _pad_slices(sl, 6, instance_map.shape)
             single = (instance_map[view] == k).astype(np.uint8)
             h, w = single.shape
-            center = calculate_centerpoint(single, h, w)
+            if all_centers is not None and all_centers[k, 0] >= 0:
+                center = [int(all_centers[k, 0] - view[0].start), int(all_centers[k, 1] - view[1].start)]
+            else:
+                center = calculate_centerpoint(single, h, w)
             assert single[center[0], center[1]] > 0
             point_map[view[0].start + center[0], view[1].start + center[1]] = 1
             if to_center:

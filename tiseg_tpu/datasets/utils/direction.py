@@ -14,6 +14,8 @@ from .center import calculate_centerpoint
 from .gradient import calculate_gradient
 from ...utils.morphology import distance_transform_edt
 
+_DDM_TABLE_CACHE = {}
+
 LABEL_TO_VECTOR = {
     4: [[-1, -1], [-1, 1], [1, 1], [1, -1]],
     5: [[0, 0], [-1, -1], [-1, 1], [1, 1], [1, -1]],
@@ -90,15 +92,35 @@ def generate_direction_differential_map(dir_map: np.ndarray, direction_classes: 
     ``use_reg=True``, an (H, W, 2) unit-vector field plus ``background``
     mask). Returns (N, H, W) float in [0, 1].
     """
-    if use_reg:
-        vec = np.transpose(np.asarray(dir_map, dtype=np.float64), (2, 0, 1))[None]
-        background = np.asarray(background, dtype=bool)[None]
-    else:
+    if not use_reg:
+        # class-map fast path: cos between quantized directions takes only
+        # K^2 values, and 1-round(.) is monotone non-increasing in cos, so
+        # 1-round(min_k cos_k) == max_k table[a, b_k] — 8 integer lookups
+        # replace the float vector math (~10x on the label-gen hot path)
         dm = np.asarray(dir_map)
-        if dm.ndim == 2:
+        squeeze3 = dm.ndim == 2
+        if squeeze3:
             dm = dm[None]
-        vec = label_to_vector(dm, direction_classes).astype(np.float64)  # (N, 2, H, W)
-        background = dm == 0
+        key = ('ddm_table', direction_classes)
+        tab = _DDM_TABLE_CACHE.get(key)
+        if tab is None:
+            v = np.asarray(LABEL_TO_VECTOR[direction_classes], np.float64)
+            nrm = np.sqrt((v ** 2).sum(1))
+            cos = (v @ v.T) / (nrm[:, None] * nrm[None, :] + 1e-6)
+            tab = 1.0 - np.round(cos)
+            _DDM_TABLE_CACHE[key] = tab
+        shifts = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+        ddm = np.zeros(dm.shape, np.float64)
+        for sv, sh in shifts:
+            np.maximum(ddm, tab[dm, np.roll(np.roll(dm, sv, axis=-2), sh, axis=-1)], out=ddm)
+        ddm[dm == 0] = 0.0
+        mx, mn = ddm.max(), ddm.min()
+        if mx != 0:
+            ddm = (ddm - mn) / (mx - mn)
+        return ddm
+
+    vec = np.transpose(np.asarray(dir_map, dtype=np.float64), (2, 0, 1))[None]
+    background = np.asarray(background, dtype=bool)[None]
 
     N, _, H, W = vec.shape
     shifts = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]

@@ -38,6 +38,12 @@ def calculate_gradient(input_map: np.ndarray, ksize: int = 11) -> np.ndarray:
     assert input_map.ndim == 2
     ky, kx = sobel_kernels(ksize)
     x = input_map.astype(np.float32)
-    gy = ndimage.correlate(x, ky, mode='constant', cval=0.0)
-    gx = ndimage.correlate(x, kx, mode='constant', cval=0.0)
+    try:  # cv2.filter2D is cross-correlation with center anchor — identical
+        # semantics to ndimage.correlate(mode='constant'), ~10x faster
+        import cv2
+        gy = cv2.filter2D(x, -1, ky, borderType=cv2.BORDER_CONSTANT)
+        gx = cv2.filter2D(x, -1, kx, borderType=cv2.BORDER_CONSTANT)
+    except ImportError:
+        gy = ndimage.correlate(x, ky, mode='constant', cval=0.0)
+        gx = ndimage.correlate(x, kx, mode='constant', cval=0.0)
     return np.stack([gy, gx], axis=-1)

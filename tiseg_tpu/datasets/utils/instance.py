@@ -30,6 +30,13 @@ def fix_instance(inst_gt: np.ndarray, min_size: int = 5) -> np.ndarray:
     bbox crops (exact: each id's pixels are inside its bbox)."""
     from ..ops.label_maps import instance_boxes  # local import: avoids cycle
 
+    try:  # native C++ union-find twin (partition-equal; ~30x the loop)
+        from ... import native
+        out = native.fix_instance(np.asarray(inst_gt), min_size)
+        if out is not None:
+            return out.astype(inst_gt.dtype if inst_gt.dtype != bool else np.int32)
+    except Exception:
+        pass
     cur = 0
     new_inst_gt = np.zeros_like(inst_gt, dtype=inst_gt.dtype if inst_gt.dtype != bool else np.int32)
     for inst_id, sl in instance_boxes(np.asarray(inst_gt)):

@@ -71,11 +71,14 @@ def build_optimizer(optimizer_cfg: dict, lr_schedule: Callable,
         # torch-style L2: decay enters the gradient before moment estimation
         chain.append(optax.add_decayed_weights(weight_decay))
 
+    # optional first-moment dtype (e.g. 'bfloat16' halves Adam's mu state
+    # memory; second moment stays f32 for rsqrt precision)
+    mu_dtype = cfg.pop('mu_dtype', None)
     if opt_type in ('Adam', 'adam'):
         chain.append(optax.scale_by_adam(b1=cfg.pop('betas', (0.9, 0.999))[0] if 'betas' in cfg else 0.9,
-                                         b2=0.999, eps=cfg.pop('eps', 1e-8)))
+                                         b2=0.999, eps=cfg.pop('eps', 1e-8), mu_dtype=mu_dtype))
     elif opt_type in ('AdamW', 'adamw'):
-        chain.append(optax.scale_by_adam())
+        chain.append(optax.scale_by_adam(mu_dtype=mu_dtype))
     elif opt_type in ('RAdam', 'radam'):
         chain.append(optax.scale_by_radam())
     elif opt_type in ('SGD', 'sgd'):

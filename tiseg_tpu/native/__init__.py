@@ -16,20 +16,31 @@ import numpy as np
 _HERE = osp.dirname(osp.abspath(__file__))
 _SRC = osp.join(_HERE, 'postproc.cpp')
 _LIB = osp.join(_HERE, 'libtiseg_post.so')
+_SRC_LM = osp.join(_HERE, 'labelmaps.cpp')
+_LIB_LM = osp.join(_HERE, 'libtiseg_labelmaps.so')
 
 _lib = None
+_lib_lm = None
 
 
-def build(force: bool = False) -> bool:
-    """Compile the shared library; returns True on success."""
-    if osp.exists(_LIB) and not force and osp.getmtime(_LIB) >= osp.getmtime(_SRC):
+def _compile(src, lib):
+    if osp.exists(lib) and osp.getmtime(lib) >= osp.getmtime(src):
         return True
     try:
-        subprocess.run(['g++', '-O3', '-march=native', '-shared', '-fPIC', '-o', _LIB, _SRC],
+        subprocess.run(['g++', '-O3', '-march=native', '-shared', '-fPIC', '-o', lib, src],
                        check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError):
         return False
+
+
+def build(force: bool = False) -> bool:
+    """Compile the shared libraries; returns True on success."""
+    if force:
+        for lib in (_LIB, _LIB_LM):
+            if osp.exists(lib):
+                os.remove(lib)
+    return _compile(_SRC, _LIB) and _compile(_SRC_LM, _LIB_LM)
 
 
 def _load():
@@ -77,6 +88,95 @@ def calculate_centerpoint(mask: np.ndarray):
     lib.calculate_centerpoint(m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return [int(out[0]), int(out[1])]
+
+
+def _load_lm():
+    global _lib_lm
+    if _lib_lm is not None:
+        return _lib_lm
+    if not _compile(_SRC_LM, _LIB_LM):
+        return None
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_f32p = ctypes.POINTER(ctypes.c_float)
+    lib = ctypes.CDLL(_LIB_LM)
+    lib.fix_instance.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p]
+    lib.fix_instance.restype = ctypes.c_int32
+    lib.remove_1px_boundary.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, c_i32p]
+    lib.unet_weight_map.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+                                    ctypes.c_int, ctypes.c_float, ctypes.c_float, c_f32p]
+    lib.bound_map.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                              ctypes.POINTER(ctypes.c_uint8)]
+    lib.all_centerpoints.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int32, c_i32p]
+    _lib_lm = lib
+    return lib
+
+
+def _i32(a):
+    return np.ascontiguousarray(np.asarray(a).astype(np.int32))
+
+
+def fix_instance(inst: np.ndarray, min_size: int = 5):
+    """Native twin of datasets.utils.instance.fix_instance; returns the
+    renumbered map or None when no compiler is available."""
+    lib = _load_lm()
+    if lib is None:
+        return None
+    inst = _i32(inst)
+    h, w = inst.shape
+    out = np.zeros((h, w), np.int32)
+    lib.fix_instance(inst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, min_size,
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def remove_1px_boundary(inst: np.ndarray):
+    lib = _load_lm()
+    if lib is None:
+        return None
+    inst = _i32(inst)
+    h, w = inst.shape
+    out = np.zeros((h, w), np.int32)
+    lib.remove_1px_boundary(inst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def unet_weight_map(ann: np.ndarray, n_ids: int, trunc: int, w0: float, sigma: float):
+    lib = _load_lm()
+    if lib is None:
+        return None
+    ann = _i32(ann)
+    h, w = ann.shape
+    out = np.zeros((h, w), np.float32)
+    lib.unet_weight_map(ann.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, n_ids, trunc,
+                        w0, sigma, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def all_centerpoints(inst: np.ndarray, n_ids: int):
+    """Per-id FCOS-centerness centers in GLOBAL coords: (n_ids+1, 2) int32,
+    row 0 unused, -1 where an id is absent; None without a compiler."""
+    lib = _load_lm()
+    if lib is None:
+        return None
+    inst = _i32(inst)
+    h, w = inst.shape
+    out = np.full((n_ids + 1, 2), -1, np.int32)
+    lib.all_centerpoints(inst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, n_ids,
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def bound_map(inst: np.ndarray, r0: int, r1: int):
+    lib = _load_lm()
+    if lib is None:
+        return None
+    inst = _i32(inst)
+    h, w = inst.shape
+    out = np.zeros((h, w), np.uint8)
+    lib.bound_map(inst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, r0, r1,
+                  out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out > 0
 
 
 def label_cc8(mask: np.ndarray):

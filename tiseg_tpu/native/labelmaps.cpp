@@ -1,0 +1,284 @@
+// Native training-data label-map kernels (the measured input-pipeline
+// binder: the numpy map stage runs ~12 items/s/core at 256^2 vs a 440
+// patches/s train step — tiseg_tpu/datasets/ops/label_maps.py twins).
+//
+// Exact re-implementations of:
+// - fix_instance (datasets/utils/instance.py:26-42): per original id,
+//   drop 4-conn fragments < min_size, split into 8-conn components,
+//   renumber contiguously (per-id raster order, ids ascending).
+// - remove_1px_boundary (ops/label_maps.py:92-99): diamond(1) erosion
+//   per instance id.
+// - unet_weight_map (ops/label_maps.py:105-129): UNet eq.(2) border
+//   weights from running nearest/second-nearest instance EDT distances,
+//   each instance's exact Felzenszwalb EDT evaluated on its padded bbox.
+// - bound_map (ops/label_maps.py BoundLabelMake): per-instance boundary =
+//   L1-dilation(r0) & ~L1-erosion(r1) via two L1 distance transforms.
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+#include <limits>
+
+namespace {
+
+struct UF {
+  std::vector<int32_t> p;
+  explicit UF(size_t n) : p(n) { for (size_t i = 0; i < n; ++i) p[i] = (int32_t)i; }
+  int32_t find(int32_t x) { while (p[x] != x) { p[x] = p[p[x]]; x = p[x]; } return x; }
+  void unite(int32_t a, int32_t b) { a = find(a); b = find(b); if (a != b) p[std::max(a,b)] = std::min(a,b); }
+};
+
+// 1-D squared Euclidean distance transform (Felzenszwalb & Huttenlocher).
+void edt1d(const double* f, int n, double* d, int* v, double* z) {
+  int k = 0;
+  v[0] = 0;
+  z[0] = -std::numeric_limits<double>::infinity();
+  z[1] = std::numeric_limits<double>::infinity();
+  for (int q = 1; q < n; ++q) {
+    double s;
+    while (true) {
+      s = ((f[q] + q * (double)q) - (f[v[k]] + v[k] * (double)v[k])) / (2.0 * q - 2.0 * v[k]);
+      if (s <= z[k]) { --k; } else break;
+    }
+    ++k;
+    v[k] = q;
+    z[k] = s;
+    z[k + 1] = std::numeric_limits<double>::infinity();
+  }
+  k = 0;
+  for (int q = 0; q < n; ++q) {
+    while (z[k + 1] < q) ++k;
+    double dq = q - (double)v[k];
+    d[q] = dq * dq + f[v[k]];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// --------------------------------------------------------------------------
+int32_t fix_instance(const int32_t* inst, int H, int W, int min_size, int32_t* out) {
+  const int n = H * W;
+  UF uf((size_t)n);
+  // pass 1: 4-conn unions within equal ids (for the fragment size filter)
+  for (int y = 0; y < H; ++y)
+    for (int x = 0; x < W; ++x) {
+      int i = y * W + x;
+      int32_t v = inst[i];
+      if (!v) continue;
+      if (x + 1 < W && inst[i + 1] == v) uf.unite(i, i + 1);
+      if (y + 1 < H && inst[i + W] == v) uf.unite(i, i + W);
+    }
+  std::vector<int32_t> size(n, 0);
+  for (int i = 0; i < n; ++i)
+    if (inst[i]) ++size[uf.find(i)];
+  std::vector<uint8_t> keep(n, 0);
+  for (int i = 0; i < n; ++i)
+    if (inst[i] && size[uf.find(i)] >= min_size) keep[i] = 1;
+  // pass 2: 8-conn unions within equal ids over kept pixels
+  UF uf8((size_t)n);
+  for (int y = 0; y < H; ++y)
+    for (int x = 0; x < W; ++x) {
+      int i = y * W + x;
+      if (!keep[i]) continue;
+      int32_t v = inst[i];
+      if (x + 1 < W && keep[i + 1] && inst[i + 1] == v) uf8.unite(i, i + 1);
+      if (y + 1 < H) {
+        if (keep[i + W] && inst[i + W] == v) uf8.unite(i, i + W);
+        if (x > 0 && keep[i + W - 1] && inst[i + W - 1] == v) uf8.unite(i, i + W - 1);
+        if (x + 1 < W && keep[i + W + 1] && inst[i + W + 1] == v) uf8.unite(i, i + W + 1);
+      }
+    }
+  // renumber: ascending original id, then per-id component discovery order
+  // (raster within the id) — matches the numpy loop's numbering scheme.
+  std::vector<std::pair<int64_t, int32_t>> roots;  // (id<<32 | first_idx, root)
+  std::vector<int32_t> newid(n, 0);
+  for (int i = 0; i < n; ++i)
+    if (keep[i]) {
+      int32_t r = uf8.find(i);
+      if (!newid[r]) { newid[r] = -1; roots.push_back({((int64_t)inst[i] << 32) | (uint32_t)i, r}); }
+    }
+  std::sort(roots.begin(), roots.end());
+  for (size_t k = 0; k < roots.size(); ++k) newid[roots[k].second] = (int32_t)(k + 1);
+  for (int i = 0; i < n; ++i) out[i] = keep[i] ? newid[uf8.find(i)] : 0;
+  return (int32_t)roots.size();
+}
+
+// --------------------------------------------------------------------------
+void remove_1px_boundary(const int32_t* inst, int H, int W, int32_t* out) {
+  for (int y = 0; y < H; ++y)
+    for (int x = 0; x < W; ++x) {
+      int i = y * W + x;
+      int32_t v = inst[i];
+      // diamond(1) erosion per id; skimage erosion pads HIGH, so
+      // out-of-image neighbors never erode an edge pixel
+      out[i] = (v &&
+                (y == 0 || inst[i - W] == v) && (y + 1 == H || inst[i + W] == v) &&
+                (x == 0 || inst[i - 1] == v) && (x + 1 == W || inst[i + 1] == v)) ? v : 0;
+    }
+}
+
+// --------------------------------------------------------------------------
+// UNet eq.(2) weight map over a DENSE-labeled map (ids 1..n_ids).
+void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
+                     float w0, float sigma, float* out) {
+  const double BIG = 1e9;
+  const int n = H * W;
+  if (n_ids <= 1) { std::memset(out, 0, sizeof(float) * n); return; }
+  std::vector<double> near1(n, BIG), near2(n, BIG);
+  // bboxes
+  std::vector<int> y0(n_ids + 1, H), y1(n_ids + 1, -1), x0(n_ids + 1, W), x1(n_ids + 1, -1);
+  for (int y = 0; y < H; ++y)
+    for (int x = 0; x < W; ++x) {
+      int32_t v = ann[y * W + x];
+      if (v > 0 && v <= n_ids) {
+        y0[v] = std::min(y0[v], y); y1[v] = std::max(y1[v], y);
+        x0[v] = std::min(x0[v], x); x1[v] = std::max(x1[v], x);
+      }
+    }
+  std::vector<double> f, dcol, drow, zbuf;
+  std::vector<int> vbuf;
+  for (int32_t id = 1; id <= n_ids; ++id) {
+    if (y1[id] < 0) continue;
+    int ys = std::max(y0[id] - trunc, 0), ye = std::min(y1[id] + trunc + 1, H);
+    int xs = std::max(x0[id] - trunc, 0), xe = std::min(x1[id] + trunc + 1, W);
+    int h = ye - ys, w = xe - xs;
+    f.assign((size_t)h * w, 0.0);
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x)
+        f[(size_t)y * w + x] = (ann[(y + ys) * W + (x + xs)] == id) ? 0.0 : BIG * BIG;
+    dcol.resize((size_t)h * w);
+    int m = std::max(h, w);
+    drow.resize(m); vbuf.resize(m); zbuf.resize(m + 1);
+    std::vector<double> col(h), dc(h);
+    for (int x = 0; x < w; ++x) {          // columns first
+      for (int y = 0; y < h; ++y) col[y] = f[(size_t)y * w + x];
+      edt1d(col.data(), h, dc.data(), vbuf.data(), zbuf.data());
+      for (int y = 0; y < h; ++y) dcol[(size_t)y * w + x] = dc[y];
+    }
+    std::vector<double> row(w), dr(w);
+    for (int y = 0; y < h; ++y) {          // then rows
+      for (int x = 0; x < w; ++x) row[x] = dcol[(size_t)y * w + x];
+      edt1d(row.data(), w, dr.data(), vbuf.data(), zbuf.data());
+      for (int x = 0; x < w; ++x) {
+        double d = std::sqrt(dr[x]);
+        int gi = (y + ys) * W + (x + xs);
+        double v1 = near1[gi];
+        if (d < v1) { near2[gi] = v1; near1[gi] = d; }
+        else if (d == v1) { near2[gi] = v1; }          // equidistant tie
+        else { near2[gi] = std::min(near2[gi], d); }
+      }
+    }
+  }
+  double inv = 1.0 / (2.0 * sigma * sigma);
+  double cap = 4.0 * trunc;
+  for (int i = 0; i < n; ++i) {
+    if (ann[i] > 0) { out[i] = 0.f; continue; }
+    double pix = (near2[i] >= BIG) ? BIG : (near1[i] + near2[i]);
+    pix = std::min(pix, cap);
+    out[i] = (float)(w0 * std::exp(-pix * pix * inv));
+  }
+}
+
+// --------------------------------------------------------------------------
+// FCOS-style centerness centers for ALL ids in one call (twin of
+// datasets/utils/center.py binary search — identical arithmetic, see
+// postproc.cpp calculate_centerpoint; global coords shift rint by an
+// integer so results match the per-crop search exactly).
+void all_centerpoints(const int32_t* inst, int H, int W, int32_t n_ids, int32_t* out_yx) {
+  static const double SIN[8] = {
+      std::sin(0.0),        std::sin(M_PI / 4),     std::sin(M_PI / 2),     std::sin(3 * M_PI / 4),
+      std::sin(M_PI),       std::sin(5 * M_PI / 4), std::sin(3 * M_PI / 2), std::sin(7 * M_PI / 4)};
+  static const double COS[8] = {
+      std::cos(0.0),        std::cos(M_PI / 4),     std::cos(M_PI / 2),     std::cos(3 * M_PI / 4),
+      std::cos(M_PI),       std::cos(5 * M_PI / 4), std::cos(3 * M_PI / 2), std::cos(7 * M_PI / 4)};
+  std::vector<double> best(n_ids + 1, -1.0);
+  for (int32_t id = 0; id <= n_ids; ++id) { out_yx[2 * id] = -1; out_yx[2 * id + 1] = -1; }
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      int32_t id = inst[i * W + j];
+      if (id <= 0 || id > n_ids) continue;
+      double maxd = 0.0, mind = 1e7;
+      for (int k = 0; k < 8; ++k) {
+        double lo = 0.0, hi = 1e6;
+        for (int it = 0; it < 24; ++it) {
+          const double mid = 0.5 * (lo + hi);
+          const long py = std::lrint(i + SIN[k] * mid);
+          const long px = std::lrint(j + COS[k] * mid);
+          if (py >= 0 && py < H && px >= 0 && px < W && inst[py * W + px] == id)
+            lo = mid;
+          else
+            hi = mid;
+        }
+        if (hi > maxd) maxd = hi;
+        if (lo < mind) mind = lo;
+      }
+      const double c = mind / maxd;
+      if (c > best[id]) { best[id] = c; out_yx[2 * id] = i; out_yx[2 * id + 1] = j; }
+    }
+}
+
+// --------------------------------------------------------------------------
+// Boundary class via L1 (diamond) morphology: bound = dilation(mask, r0)
+// AND NOT erosion(mask, r1), per instance id, written as edge pixels.
+void bound_map(const int32_t* inst, int H, int W, int r0, int r1, uint8_t* bound) {
+  std::memset(bound, 0, (size_t)H * W);
+  // per-id bboxes
+  int32_t maxid = 0;
+  const int n = H * W;
+  for (int i = 0; i < n; ++i) maxid = std::max(maxid, inst[i]);
+  if (maxid <= 0) return;
+  std::vector<int> y0(maxid + 1, H), y1(maxid + 1, -1), x0(maxid + 1, W), x1(maxid + 1, -1);
+  for (int y = 0; y < H; ++y)
+    for (int x = 0; x < W; ++x) {
+      int32_t v = inst[y * W + x];
+      if (v > 0) {
+        y0[v] = std::min(y0[v], y); y1[v] = std::max(y1[v], y);
+        x0[v] = std::min(x0[v], x); x1[v] = std::max(x1[v], x);
+      }
+    }
+  int pad = std::max(r0, r1) + 1;
+  std::vector<int32_t> din, dout;
+  for (int32_t id = 1; id <= maxid; ++id) {
+    if (y1[id] < 0) continue;
+    int ys = std::max(y0[id] - pad, 0), ye = std::min(y1[id] + pad + 1, H);
+    int xs = std::max(x0[id] - pad, 0), xe = std::min(x1[id] + pad + 1, W);
+    int h = ye - ys, w = xe - xs;
+    const int INF = h + w + 4;
+    din.assign((size_t)h * w, INF);   // L1 distance to mask
+    dout.assign((size_t)h * w, INF);  // L1 distance to complement (skimage
+                                      // binary_erosion pads HIGH: outside
+                                      // the image is NOT complement)
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        bool in = inst[(y + ys) * W + (x + xs)] == id;
+        size_t i = (size_t)y * w + x;
+        if (in) din[i] = 0; else dout[i] = 0;
+      }
+    auto l1pass = [&](std::vector<int32_t>& d) {
+      for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x) {
+          size_t i = (size_t)y * w + x;
+          if (y > 0) d[i] = std::min(d[i], d[i - w] + 1);
+          if (x > 0) d[i] = std::min(d[i], d[i - 1] + 1);
+        }
+      for (int y = h - 1; y >= 0; --y)
+        for (int x = w - 1; x >= 0; --x) {
+          size_t i = (size_t)y * w + x;
+          if (y + 1 < h) d[i] = std::min(d[i], d[i + w] + 1);
+          if (x + 1 < w) d[i] = std::min(d[i], d[i + 1] + 1);
+        }
+    };
+    l1pass(din);
+    l1pass(dout);
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        size_t i = (size_t)y * w + x;
+        if (din[i] <= r0 && dout[i] <= r1) bound[(y + ys) * W + (x + xs)] = 1;
+      }
+  }
+}
+
+}  // extern "C"
