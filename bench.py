@@ -218,7 +218,8 @@ def bench_whole_image(B: int = 1, iters: int = 4, hw: int = 1000):
 
     test_cfg = dict(mode='split', crop_size=(256, 256), overlap_size=(40, 40),
                     rotate_degrees=[0, 90], flip_directions=['none', 'horizontal', 'vertical', 'diagonal'],
-                    device_postprocess=True, pp_sweeps=8, radius=1, patch_batch=25)
+                    device_postprocess=True, pp_sweeps=8, radius=1,
+                    patch_batch=int(os.environ.get('BENCH_WHOLE_CHUNK', '100')))
     seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=test_cfg),
                           dtype=jnp.bfloat16)
     variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))

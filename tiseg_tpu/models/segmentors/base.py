@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.sliding import (resize_bilinear, reverse_tta_transform, split_inference, tta_transform, tta_views)
+from ...ops.sliding import (resize_bilinear, reverse_tta_transform, tta_forward_views,
+                            tta_transform, tta_views)
 
 
 def parse_losses(losses: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -109,15 +110,12 @@ class BaseSegmentor:
         def calc(patch):
             return self.forward_heads(variables, patch, train=False, prep=prep)
 
+        ws = self.test_cfg.get('crop_size', (0,))[0]
+        os_ = self.test_cfg.get('overlap_size', (0,))[0]
+        outs = tta_forward_views(calc, img, views, mode, ws, os_,
+                                 chunk=self.test_cfg.get('patch_batch', 8))
         accum = None
-        for rot, flip in views:
-            v = tta_transform(img, rot, flip)
-            if mode == 'split':
-                ws = self.test_cfg['crop_size'][0]
-                os_ = self.test_cfg['overlap_size'][0]
-                out = split_inference(calc, v, ws, os_, chunk=self.test_cfg.get('patch_batch', 8))
-            else:
-                out = calc(v)
+        for (rot, flip), out in zip(views, outs):
             out = {k: self.fuse_head(k, self.reverse_head(k, o, rot, flip)) for k, o in out.items()}
             accum = out if accum is None else {k: accum[k] + out[k] for k in out}
         fused = {k: v / len(views) for k, v in accum.items()}

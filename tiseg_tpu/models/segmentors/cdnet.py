@@ -18,7 +18,8 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops.ddm import generate_direction_differential_map
-from ...ops.sliding import resize_bilinear, reverse_tta_transform, split_inference, tta_transform, tta_views
+from ...ops.sliding import (resize_bilinear, reverse_tta_transform, tta_forward_views,
+                            tta_transform, tta_views)
 from ..backbones.vgg import VGG16BN
 from ..builder import SEGMENTORS
 from ..heads.cd_head import CDHead
@@ -91,16 +92,13 @@ class CDNet(BaseSegmentor):
         def calc(patch):
             return self.forward_heads(variables, patch, train=False)
 
+        ws = self.test_cfg.get('crop_size', (0,))[0]
+        os_ = self.test_cfg.get('overlap_size', (0,))[0]
+        outs = tta_forward_views(calc, img, views, mode, ws, os_,
+                                 chunk=self.test_cfg.get('patch_batch', 8))
         sem_sum = point_sum = None
         dir_probs = []
-        for rot, flip in views:
-            v = tta_transform(img, rot, flip)
-            if mode == 'split':
-                ws = self.test_cfg['crop_size'][0]
-                os_ = self.test_cfg['overlap_size'][0]
-                out = split_inference(calc, v, ws, os_, chunk=self.test_cfg.get('patch_batch', 8))
-            else:
-                out = calc(v)
+        for (rot, flip), out in zip(views, outs):
             out = {k: reverse_tta_transform(o, rot, flip) for k, o in out.items()}
             sem = jax.nn.softmax(out['sem'], axis=-1)
             dir_ = jax.nn.softmax(out['dir'], axis=-1)

@@ -137,7 +137,7 @@ class HoverNet(BaseSegmentor):
     def inference(self, variables, img, ori_hw=None):
         """Override: HV maps come ONLY from the identity view."""
         import jax
-        from ...ops.sliding import resize_bilinear, reverse_tta_transform, split_inference, tta_transform, tta_views
+        from ...ops.sliding import resize_bilinear, tta_forward_views, tta_views
 
         mode = self.test_cfg.get('mode', 'whole')
         views = tta_views(self.test_cfg)
@@ -145,16 +145,13 @@ class HoverNet(BaseSegmentor):
         def calc(patch):
             return self.forward_heads(variables, patch, train=False)
 
+        ws = self.test_cfg.get('crop_size', (0,))[0]
+        os_ = self.test_cfg.get('overlap_size', (0,))[0]
+        outs = tta_forward_views(calc, img, views, mode, ws, os_,
+                                 chunk=self.test_cfg.get('patch_batch', 8))
         accum = None
         hv_first = None
-        for vi, (rot, flip) in enumerate(views):
-            v = tta_transform(img, rot, flip)
-            if mode == 'split':
-                ws = self.test_cfg['crop_size'][0]
-                os_ = self.test_cfg['overlap_size'][0]
-                out = split_inference(calc, v, ws, os_, chunk=self.test_cfg.get('patch_batch', 8))
-            else:
-                out = calc(v)
+        for vi, ((rot, flip), out) in enumerate(zip(views, outs)):
             out = {k: self.reverse_head(k, o, rot, flip) for k, o in out.items()}
             if vi == 0:
                 hv_first = out['hv']

@@ -16,8 +16,7 @@ Geometry (identical to the reference):
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,13 +49,12 @@ def chunked_apply(fn: Callable, batch: jnp.ndarray, chunk: int):
     return out
 
 
-def split_inference(calculate_fn: Callable, img: jnp.ndarray, window: int, overlap: int,
-                    chunk: int = 8):
-    """Sliding-window forward. ``calculate_fn``: (N, ws, ws, C) -> pytree of
-    (N, ws, ws, K). Returns the same pytree stitched to (B, H, W, K)."""
-    ws, os_ = window, overlap
-    B, H, W, C = img.shape
+def _split_extract(img: jnp.ndarray, ws: int, os_: int):
+    """Pad onto the window grid and extract every window.
 
+    Returns ``(batch, meta)``: the (P*B, ws, ws, C) patch batch plus the
+    geometry needed by :func:`_split_stitch`."""
+    B, H, W, C = img.shape
     pad_h = _pad_amount(H, ws, os_)
     pad_w = _pad_amount(W, ws, os_)
     H1, W1 = H + pad_h, W + pad_w
@@ -68,7 +66,15 @@ def split_inference(calculate_fn: Callable, img: jnp.ndarray, window: int, overl
 
     patches = [canvas[:, i:i + ws, j:j + ws, :] for i in i_offs for j in j_offs]
     batch = jnp.concatenate(patches, axis=0)  # (P*B, ws, ws, C)
-    out = chunked_apply(calculate_fn, batch, chunk)
+    meta = (B, H, W, ws, os_, pad_h, pad_w, tuple(i_offs), tuple(j_offs))
+    return batch, meta
+
+
+def _split_stitch(out, meta):
+    """Stitch a per-window output pytree back to (B, H, W, K) by keeping each
+    window's non-overlapping valid region (half-overlap discard)."""
+    B, H, W, ws, os_, pad_h, pad_w, i_offs, j_offs = meta
+    H1, W1 = H + pad_h, W + pad_w
 
     def _valid(offs, size1, idx):
         o = offs[idx]
@@ -92,6 +98,48 @@ def split_inference(calculate_fn: Callable, img: jnp.ndarray, window: int, overl
         return full[:, pad_h // 2:pad_h // 2 + H, pad_w // 2:pad_w // 2 + W, :]
 
     return jax.tree_util.tree_map(stitch, out)
+
+
+def split_inference(calculate_fn: Callable, img: jnp.ndarray, window: int, overlap: int,
+                    chunk: int = 8):
+    """Sliding-window forward. ``calculate_fn``: (N, ws, ws, C) -> pytree of
+    (N, ws, ws, K). Returns the same pytree stitched to (B, H, W, K).
+
+    The network output passes through ``optimization_barrier`` before the
+    stitch: without it XLA fuses the 25 per-window stitch slices into the
+    decoder tail and re-materialises it per consumer (measured 27.4 ->
+    13.0 ms for one 1000^2 view on v5e — docs/ROUND3.md)."""
+    batch, meta = _split_extract(img, window, overlap)
+    out = chunked_apply(lambda p: jax.lax.optimization_barrier(calculate_fn(p)), batch, chunk)
+    return _split_stitch(out, meta)
+
+
+def tta_forward_views(calculate_fn: Callable, img: jnp.ndarray, views, mode: str,
+                      window: int = 0, overlap: int = 0, chunk: int = 8):
+    """Forward every dihedral TTA view, returning one output pytree per view
+    (still in view orientation — the caller reverses and fuses).
+
+    In split mode ALL views' sliding-window patches are extracted first and
+    run through ONE chunked forward, so the network executes at the large-
+    batch sweet spot instead of one small batch per view (v5e, 1000^2
+    MoNuSeg protocol: 8 x 25-patch forwards = 219 ms vs 200 patches at
+    chunk 100 = 76 ms — docs/ROUND3.md). Rebuilds the reference's
+    per-view patch loop (tiseg/models/segmentors/base.py:255-302)."""
+    if mode != 'split':
+        return [calculate_fn(tta_transform(img, rot, flip)) for rot, flip in views]
+    extracted = []
+    for rot, flip in views:
+        v = tta_transform(img, rot, flip)
+        extracted.append(_split_extract(v, window, overlap))
+    big = jnp.concatenate([b for b, _ in extracted], axis=0)
+    out = chunked_apply(lambda p: jax.lax.optimization_barrier(calculate_fn(p)), big, chunk)
+    results, ofs = [], 0
+    for batch, meta in extracted:
+        n = batch.shape[0]
+        out_v = jax.tree_util.tree_map(lambda x: x[ofs:ofs + n], out)
+        ofs += n
+        results.append(_split_stitch(out_v, meta))
+    return results
 
 
 # ---------------------------------------------------------------------------
