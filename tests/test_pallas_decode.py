@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from tiseg_tpu.models.heads import fast_decode as fd
-from tiseg_tpu.models.heads.pallas_decode import fused_decode0_cls
+from tiseg_tpu.attic.pallas_decode import fused_decode0_cls
 
 
 def _random_stage(rng, G, Cx, C0, F_t, F_c, nc, dtype):

@@ -347,7 +347,7 @@ def _apply_stage_plain(st, x, skip, dtype):
 
 def _use_fused_tail(st, skip, x, fp) -> bool:
     """Route the final stage through the fused Pallas kernel (decode0 +
-    cls in one VMEM-resident program, heads/pallas_decode.py). Opt-in via
+    cls in one VMEM-resident program, attic/pallas_decode.py). Opt-in via
     TISEG_FUSED_TAIL=1: measured on v5e-1 the kernel loses to XLA's conv
     emitter for this region (7.0 ms vs 4.5 ms at B=128 — Mosaic's vector
     relayouts for the misaligned window slices cost more than the MXU
@@ -376,7 +376,7 @@ def apply_fast_unet_head(fp, bottom, skips, dtype=jnp.bfloat16):
                 x = d2s(phase_out, phase_out.shape[-1] // 4)
                 phase_out = None
             if i == 0 and _use_fused_tail(st, skips[0], x, fp):
-                from .pallas_decode import fused_decode0_cls
+                from ...attic.pallas_decode import fused_decode0_cls
                 return fused_decode0_cls(
                     x, skips[0].z, st['Wt'], st['bt'], st['Wc_t'],
                     st['Wc_s_phase'], st['bc'], fp['cls_kernel'],
