@@ -90,3 +90,21 @@ def test_tta_roundtrip():
         for flip in ('none', 'horizontal', 'vertical', 'diagonal'):
             y = reverse_tta_transform(tta_transform(x, rot, flip), rot, flip)
             np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+def test_tta_forward_views_matches_per_view_loop():
+    """The batched-TTA split path (one chunked forward over all views'
+    patches) must equal running split_inference per view — pins the
+    round-3 refactor that batches 8 small per-view forwards into one."""
+    from tiseg_tpu.ops import split_inference, tta_forward_views, tta_transform
+
+    def net(x):
+        # non-trivial, orientation-sensitive "network"
+        return {'sem': jnp.cumsum(x, axis=1) + 0.3 * jnp.cumsum(x, axis=2)[..., ::-1]}
+
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.normal(size=(1, 56, 56, 3)).astype(np.float32))
+    views = [(d, f) for d in (0, 90) for f in ('none', 'horizontal', 'vertical', 'diagonal')]
+    batched = tta_forward_views(net, img, views, 'split', 32, 8, chunk=5)
+    for (rot, flip), got in zip(views, batched):
+        want = split_inference(net, tta_transform(img, rot, flip), 32, 8, chunk=5)
+        np.testing.assert_allclose(np.asarray(got['sem']), np.asarray(want['sem']), rtol=1e-6, atol=1e-5)
