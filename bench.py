@@ -1,15 +1,20 @@
 """End-to-end inference benchmark: 256x256 patches/sec/chip through the
-flagship model — network forward + argmax + on-device instance
-post-processing (fill holes, CCL, disk dilation).
+flagship model — the FUSED single-jit eval program (network forward +
+argmax + on-device instance post-processing: fill holes, CCL, disk
+dilation), i.e. the artifact `inference_and_postprocess` users run.
 
 Measurement notes (the dev tunnel's remote dispatch makes naive
 block_until_ready timing unreliable):
-- the network is timed as ONE jit program chaining ITERS forwards with a
-  data dependency — pipelining/caching cannot inflate it;
-- the post-processor (scan-based label propagation, light enough that the
-  remote compiler handles it) is timed with per-call on-device scalar
-  reduction + host fetch over DISTINCT pre-staged inputs, with the
-  measured per-call RPC latency of a trivial program subtracted.
+- everything is timed as ONE jit program chaining ITERS evals with a
+  data dependency — pipelining/caching cannot inflate it — and the
+  measured RPC latency of a trivial program is subtracted (methodology
+  validated against a chain-length linear fit, docs/ROUND3.md);
+- the workload is representative: MoNuSeg-density synthetic nuclei
+  images (150/image, fg ~0.18) through a briefly-trained net, so the
+  sem argmax plane the sweep post-processor consumes has realistic CCL
+  structure (~2.5k row transitions/image). Noise input is pathological
+  (26k transitions, -7%) and an untrained net on nuclei predicts almost
+  no foreground (+5%): docs/ROUND3.md "headline reconciliation".
 
 Target (BASELINE.md): >= 5,000 patches/sec/chip net+post-proc on v5e.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -38,6 +43,77 @@ def jit_tuned(fn, *example_args):
         return jax.jit(fn)
 
 
+def make_bench_nuclei(seed, hw=256, n_inst=150):
+    """Synthetic H&E-like nuclei image at MoNuSeg density (~150 nuclei /
+    256², fg ~0.18). bbox-local ellipse drawing keeps generation O(n·r²).
+    Returns (img float32 (hw,hw,3) in [0,1], sem uint8 (hw,hw))."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    inst = np.zeros((hw, hw), np.int32)
+    nid = 0
+    for _ in range(n_inst):
+        cy, cx = rng.integers(8, hw - 8, 2)
+        a, b = rng.uniform(3.5, 7.5, 2)
+        th = rng.uniform(0, np.pi)
+        r = int(np.ceil(max(a, b))) + 1
+        yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
+        ry = yy * np.cos(th) + xx * np.sin(th)
+        rx = -yy * np.sin(th) + xx * np.cos(th)
+        m = (ry / a) ** 2 + (rx / b) ** 2 <= 1.0
+        y0, y1 = max(cy - r, 0), min(cy + r + 1, hw)
+        x0, x1 = max(cx - r, 0), min(cx + r + 1, hw)
+        m = m[y0 - (cy - r):m.shape[0] - ((cy + r + 1) - y1),
+              x0 - (cx - r):m.shape[1] - ((cx + r + 1) - x1)]
+        win = inst[y0:y1, x0:x1]
+        if (win[m] > 0).mean() > 0.25:
+            continue
+        nid += 1
+        win[m & (win == 0)] = nid
+    sem = (inst > 0).astype(np.uint8)
+    img = np.empty((hw, hw, 3), np.float32)
+    img[..., 0] = 0.80 - 0.42 * sem
+    img[..., 1] = 0.55 - 0.35 * sem
+    img[..., 2] = 0.75 - 0.18 * sem
+    img = np.clip(img + rng.normal(0, 0.06, (hw, hw, 3)), 0, 1).astype(np.float32)
+    return img, sem
+
+
+def train_briefly(seg, variables, hw=256, steps=60, n_imgs=16, lr=1e-3):
+    """~60 Adam steps on synthetic nuclei so the bench model actually
+    segments (fg ~0.18 out, matching label stats) instead of an untrained
+    net's near-empty prediction. Deterministic (fixed seeds/order); the
+    step compile lands in the persistent cache. Returns trained variables."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    data = [make_bench_nuclei(10_000 + i, hw=hw) for i in range(n_imgs)]
+    timg = jnp.asarray(np.stack([d[0] for d in data]))
+    tsem = jnp.asarray(np.stack([d[1] for d in data]).astype(np.int32))
+    params, batch_stats = variables['params'], variables['batch_stats']
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    def step(params, batch_stats, opt_state, img, sem):
+        def loss_fn(p):
+            batch = {'data': {'img': img},
+                     'label': {'sem_gt_inner': sem,
+                               'loss_weight_map': jnp.ones(sem.shape, jnp.float32)}}
+            total, (logs, new_state) = seg.loss({'params': p, 'batch_stats': batch_stats},
+                                                batch, rng=jax.random.PRNGKey(0))
+            return total, new_state['batch_stats']
+
+        (total, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), new_bs, opt_state2, total
+
+    step_j = jit_tuned(step, params, batch_stats, opt_state, timg, tsem)
+    for _ in range(steps):
+        params, batch_stats, opt_state, total = step_j(params, batch_stats, opt_state, timg, tsem)
+    jax.block_until_ready(total)
+    return {'params': params, 'batch_stats': batch_stats}
+
+
 def main():
     import jax
     # persistent compilation cache: repeat bench runs skip the (slow,
@@ -52,9 +128,16 @@ def main():
     from tiseg_tpu.models import build_segmentor
     from tiseg_tpu.ops.pallas_sweep import instance_postprocess_sweep
 
-    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')),
+    # shipped post-proc defaults (pp_sweeps 16 / pp_fill_sweeps 32: exact on
+    # all 16 trained-net planes vs the host oracle, and only -0.6% vs the
+    # truncated sweeps=8 setting — the sweep loops exit at their fixpoint)
+    test_cfg = dict(mode='whole', device_postprocess=True, radius=1)
+    if os.environ.get('BENCH_PP_SWEEPS'):
+        test_cfg['pp_sweeps'] = int(os.environ['BENCH_PP_SWEEPS'])
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=test_cfg),
                           dtype=jnp.bfloat16)
     variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
+    variables = train_briefly(seg, variables)
 
     # B=128 measured best on v5e-1: net 2785 p/s vs 2526 (B=64) / 2825 (B=256,
     # 2x memory for +1.4%) — larger batches amortize the decoder's layout copies
@@ -98,53 +181,38 @@ def main():
 
     total_rate = net_rate
     if include_postproc:
-        # ---- stage 2: on-device instance post-processing ------------------
-        # segmented-sweep kernel: exact when component geodesics have
-        # <= pp_sweeps bends (verified vs the host scipy-semantics oracle
-        # on this synthetic distribution, tests/test_pallas_sweep.py)
-        pp = partial(instance_postprocess_sweep, radius=1, num_classes=2,
-                     sweeps=int(os.environ.get('BENCH_PP_SWEEPS', 8)))
+        # ---- fused single-program e2e: inference + device post-proc in ONE
+        # jit (the artifact users actually run), on the representative
+        # workload (dense nuclei through the briefly-trained net). This
+        # replaces the round-1/2 two-stage harmonic composition; on this
+        # workload the fused program reaches the composition rate (2,468 vs
+        # 2,464 composed, v5e-1 B=128) — the earlier fused deficit (2,023 /
+        # 2,281) was unrepresentative input making the post-processor
+        # pathological, not a fusion loss (optimization barriers measured
+        # neutral): docs/ROUND3.md "headline reconciliation".
+        uniq = np.stack([make_bench_nuclei(i)[0] for i in range(16)])
+        img_r = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
+        jax.block_until_ready(img_r)
 
-        def make(seed):
-            rng = np.random.default_rng(seed)
-            sem = np.zeros((B, 256, 256), np.int32)
-            yy, xx = np.ogrid[:256, :256]
-            for b in range(B):
-                for _ in range(150):
-                    cy, cx = rng.integers(0, 256, 2)
-                    r = rng.integers(3, 8)
-                    sem[b][(yy - cy)**2 + (xx - cx)**2 <= r * r] = 1
-            return jnp.asarray(sem)
-
-        sem0 = jax.device_put(make(0))
-        jax.block_until_ready(sem0)
-
-        # chained like the net stage: each iteration's input depends on the
-        # previous max, so the timing is RPC-amortized and pipeline-immune
-        # (every iteration processes the same plane, so the sweep loops'
-        # data-dependent early exit does identical work each time)
-        def _pp_chain(sem):
+        def _fused_chain(variables, im):
             def body(i, carry):
-                # min(carry, 0) is 0 at runtime (labels >= 0) but not
-                # statically foldable, so the kernel can't be hoisted
-                _, inst = pp(sem + jnp.minimum(carry, 0))
-                return jnp.int32(jnp.max(inst))
+                out = seg.inference_and_postprocess(variables, im + carry * 1e-12)
+                return jnp.float32(jnp.max(out['inst_pred']))
 
-            return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
-        pp_chain = jit_tuned(_pp_chain, sem0)
-        int(pp_chain(sem0))  # compile
+        fused_chain = jit_tuned(_fused_chain, variables, img_r)
+        float(fused_chain(variables, img_r))  # compile
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            int(pp_chain(sem0))
+            float(fused_chain(variables, img_r))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        pp_rate = B * ITERS / max(best - rpc_latency, 1e-9)
-        total_rate = 1.0 / (1.0 / net_rate + 1.0 / pp_rate)
+        total_rate = B * ITERS / max(best - rpc_latency, 1e-9)
 
     print(json.dumps({
-        'metric': 'unet_256x256_e2e_throughput' if include_postproc else 'unet_256x256_infer_throughput',
+        'metric': 'unet_256x256_fused_e2e_throughput' if include_postproc else 'unet_256x256_infer_throughput',
         'value': round(total_rate, 1),
         'unit': 'patches/sec/chip',
         'vs_baseline': round(total_rate / BASELINE_PATCHES_PER_SEC, 3),

@@ -76,3 +76,20 @@ def test_bench_train_surface():
     import bench
     rate = bench.bench_train('UNet', B=2, iters=1, hw=64)
     assert rate > 0
+
+
+def test_bench_workload_surface():
+    """The headline-bench workload pieces: the dense-nuclei generator has
+    MoNuSeg-like stats, and train_briefly runs on CPU at tiny shapes."""
+    import jax
+    import jax.numpy as jnp
+    import bench
+    from tiseg_tpu.models import build_segmentor
+    img, sem = bench.make_bench_nuclei(0)
+    assert img.shape == (256, 256, 3) and 0.12 < sem.mean() < 0.25
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(),
+                               test_cfg=dict(mode='whole', device_postprocess=True)))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    trained = bench.train_briefly(seg, variables, hw=64, steps=2, n_imgs=2)
+    leaf = jax.tree_util.tree_leaves(trained['params'])[0]
+    assert jnp.isfinite(leaf).all()

@@ -190,6 +190,35 @@ def test_fill_holes_sweep_matches_host():
     np.testing.assert_array_equal(got, want)
 
 
+def test_fill_holes_tortuous_channel_exact_at_default():
+    """Regression (round 3): a serpentine background corridor reaching the
+    border through many bends must NOT be filled. The old fill cap of 4
+    mis-filled its tail (first seen as a 2-px e2e divergence on a trained
+    net's MoNuSeg-density prediction); the fixpoint early-exit makes the
+    raised default cap free on ordinary planes."""
+    mask = np.zeros((64, 64), bool)
+    mask[4:60, 4:60] = True
+    rows = list(range(6, 32, 4))
+    mask[rows[0], 4:56] = False           # entry channel, open at the left edge
+    for r in rows[1:]:
+        mask[r, 8:56] = False             # closed-ended inner channels
+    for k in range(len(rows) - 1):        # alternating joints chain them
+        col = 55 if k % 2 == 0 else 8
+        mask[rows[k]:rows[k + 1] + 1, col] = False
+    mask[40:46, 40:46] = False            # a genuine hole: must still be filled
+    want = m.binary_fill_holes(mask)
+    got = np.asarray(fill_holes_sweep(jnp.asarray(mask))) > 0
+    np.testing.assert_array_equal(got, want)
+    # the corridor really needs the depth: a 2-sweep cap mis-fills it
+    shallow = np.asarray(fill_holes_sweep(jnp.asarray(mask), sweeps=2)) > 0
+    assert (shallow != want).any()
+    # and the full pipeline at shipped defaults matches the host oracle
+    host_sem, host_inst = instance_postprocess(mask.astype(np.uint8), radius=1)
+    got_sem, got_inst = instance_postprocess_sweep(jnp.asarray(mask.astype(np.int32)), radius=1)
+    np.testing.assert_array_equal(np.asarray(got_sem), host_sem)
+    assert partition_bijective(host_inst, np.asarray(got_inst))
+
+
 def test_sweep_multiclass():
     sem = blobs(0)
     sem[blobs(7) > 0] = 2

@@ -163,7 +163,7 @@ class BaseSegmentor:
         radius = self.test_cfg.get('radius', self.device_pp_default_radius)
         return instance_postprocess_sweep(sem_pred, radius=radius, num_classes=self.num_classes,
                                           sweeps=self.test_cfg.get('pp_sweeps', 16),
-                                          fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 4))
+                                          fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 32))
 
     # -- training metrics --------------------------------------------------------
     def training_metrics(self, sem_logit, sem_gt) -> Dict[str, jnp.ndarray]:

@@ -269,7 +269,7 @@ class MultiTaskCDNet(BaseSegmentor):
         sem_out, inst = mt_instance_postprocess_sweep(
             sem_pred, seed, num_classes=self.num_classes,
             sweeps=self.test_cfg.get('pp_sweeps', 16),
-            fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 4))
+            fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 32))
         return {'sem_pred': sem_out, 'inst_pred': inst}
 
     def postprocess(self, fused):

@@ -78,7 +78,7 @@ class _MTDevicePP:
         sem_out, inst = mt_instance_postprocess_sweep(
             sem_pred, self._device_seed_pred(fused), num_classes=self.num_classes,
             sweeps=self.test_cfg.get('pp_sweeps', 16),
-            fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 4))
+            fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 32))
         return {'sem_pred': sem_out, 'inst_pred': inst}
 
 

@@ -435,7 +435,7 @@ MAX_VMEM_PLANE_SWEEP = 512 * 512
 @partial(jax.jit, static_argnames=('radius', 'min_size', 'num_classes', 'sweeps', 'fill_sweeps',
                                    'multiclass_vectorized'))
 def instance_postprocess_sweep(sem_pred: jnp.ndarray, radius: int = 1, min_size: int = 5,
-                               num_classes: int = 2, sweeps: int = 8, fill_sweeps: int = 4,
+                               num_classes: int = 2, sweeps: int = 8, fill_sweeps: int = 32,
                                multiclass_vectorized: bool = True):
     """UNet-family instance recovery, one fused sweep kernel per image.
 
@@ -444,7 +444,12 @@ def instance_postprocess_sweep(sem_pred: jnp.ndarray, radius: int = 1, min_size:
     component geodesic has <= ``sweeps`` bends/diagonal links and every
     background hole path to the border has <= ``fill_sweeps`` bends; the
     counts are worst-case caps — each sweep loop exits at its fixpoint
-    (typically 2-3 sweeps on nuclei, ~1 for the cc4-seeded 8-conn pass).
+    (typically 2-3 sweeps on nuclei, ~1 for the cc4-seeded 8-conn pass),
+    so raising a cap only costs when a plane genuinely needs the depth.
+    fill_sweeps defaults high (32): a trained net's prediction produces
+    tortuous background channels that a cap of 4 mis-fills (2 px on 1 of
+    16 MoNuSeg-density planes, -0.6% throughput to get exact 16/16 —
+    docs/ROUND3.md headline reconciliation).
     Returns (sem uint8, inst int32); accepts (H, W) or (B, H, W).
 
     Planes larger than the VMEM working set (e.g. 1000x1000 whole-image
@@ -538,7 +543,7 @@ def _mt_pp_kernel(sem_ref, seed_ref, sem_out_ref, inst_out_ref, **kw):
 @partial(jax.jit, static_argnames=('num_classes', 'min_size', 'sweeps', 'fill_sweeps', 'align_time'))
 def mt_instance_postprocess_sweep(sem_pred: jnp.ndarray, seed_mask: jnp.ndarray,
                                   num_classes: int = 2, min_size: int = 5, sweeps: int = 8,
-                                  fill_sweeps: int = 4, align_time: int = 20):
+                                  fill_sweeps: int = 32, align_time: int = 20):
     """Multi-task (seed + canvas) instance recovery, one fused sweep kernel
     per image; (H, W) or (B, H, W) inputs. Large planes take the identical
     XLA (HBM-resident) program. Returns (sem uint8, inst int32)."""
@@ -623,7 +628,7 @@ def ccl_sweep(mask: jnp.ndarray, connectivity: int = 2, sweeps: int = 8) -> jnp.
 
 
 @partial(jax.jit, static_argnames=('sweeps',))
-def fill_holes_sweep(mask: jnp.ndarray, sweeps: int = 4) -> jnp.ndarray:
+def fill_holes_sweep(mask: jnp.ndarray, sweeps: int = 32) -> jnp.ndarray:
     """Standalone segmented-sweep hole filling."""
     squeeze = mask.ndim == 2
     if squeeze:
