@@ -46,7 +46,7 @@ def jit_tuned(fn, *example_args):
 def make_bench_nuclei(seed, hw=256, n_inst=150):
     """Synthetic H&E-like nuclei image at MoNuSeg density (~150 nuclei /
     256², fg ~0.18). bbox-local ellipse drawing keeps generation O(n·r²).
-    Returns (img float32 (hw,hw,3) in [0,1], sem uint8 (hw,hw))."""
+    Returns (img float32 (hw,hw,3) in [0,1], sem uint8, inst int32)."""
     import numpy as np
     rng = np.random.default_rng(seed)
     inst = np.zeros((hw, hw), np.int32)
@@ -75,10 +75,37 @@ def make_bench_nuclei(seed, hw=256, n_inst=150):
     img[..., 1] = 0.55 - 0.35 * sem
     img[..., 2] = 0.75 - 0.18 * sem
     img = np.clip(img + rng.normal(0, 0.06, (hw, hw, 3)), 0, 1).astype(np.float32)
-    return img, sem
+    return img, sem, inst
 
 
-def train_briefly(seg, variables, hw=256, steps=60, n_imgs=16, lr=1e-3):
+def _bench_labels(typ: str, data):
+    """Per-model training label dict (numpy) from (img, sem, inst) items,
+    via the same label-map ops the data pipeline uses."""
+    import numpy as np
+    from tiseg_tpu.datasets.ops.label_maps import (BoundLabelMake, DirectionLabelMake,
+                                                   HVLabelMake, UNetLabelMake)
+    items = []
+    for img, sem, inst in data:
+        d = {'sem_gt': sem.astype(np.int32), 'inst_gt': inst, 'seg_fields': ['sem_gt']}
+        if typ == 'CDNet':
+            d = BoundLabelMake(edge_id=2, selem_radius=(3, 3))(d)
+            d = DirectionLabelMake()(d)
+        elif typ == 'HoverNet':
+            d = HVLabelMake()(d)
+        else:
+            d = UNetLabelMake()(d)
+        items.append(d)
+    st = lambda k, dt: np.stack([it[k] for it in items]).astype(dt)
+    if typ == 'CDNet':
+        return {'sem_gt_w_bound': st('sem_gt_w_bound', np.int32),
+                'dir_gt': st('dir_gt', np.int32), 'point_gt': st('point_gt', np.float32)}
+    if typ == 'HoverNet':
+        return {'sem_gt': st('sem_gt', np.int32), 'hv_gt': st('hv_gt', np.float32)}
+    return {'sem_gt_inner': st('sem_gt_inner', np.int32),
+            'loss_weight_map': st('loss_weight_map', np.float32)}
+
+
+def train_briefly(seg, variables, typ='UNet', hw=256, steps=60, n_imgs=16, lr=1e-3):
     """~60 Adam steps on synthetic nuclei so the bench model actually
     segments (fg ~0.18 out, matching label stats) instead of an untrained
     net's near-empty prediction. Deterministic (fixed seeds/order); the
@@ -89,16 +116,14 @@ def train_briefly(seg, variables, hw=256, steps=60, n_imgs=16, lr=1e-3):
     import optax
     data = [make_bench_nuclei(10_000 + i, hw=hw) for i in range(n_imgs)]
     timg = jnp.asarray(np.stack([d[0] for d in data]))
-    tsem = jnp.asarray(np.stack([d[1] for d in data]).astype(np.int32))
+    tlabel = {k: jnp.asarray(v) for k, v in _bench_labels(typ, data).items()}
     params, batch_stats = variables['params'], variables['batch_stats']
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
-    def step(params, batch_stats, opt_state, img, sem):
+    def step(params, batch_stats, opt_state, img, label):
         def loss_fn(p):
-            batch = {'data': {'img': img},
-                     'label': {'sem_gt_inner': sem,
-                               'loss_weight_map': jnp.ones(sem.shape, jnp.float32)}}
+            batch = {'data': {'img': img}, 'label': label}
             total, (logs, new_state) = seg.loss({'params': p, 'batch_stats': batch_stats},
                                                 batch, rng=jax.random.PRNGKey(0))
             return total, new_state['batch_stats']
@@ -107,9 +132,9 @@ def train_briefly(seg, variables, hw=256, steps=60, n_imgs=16, lr=1e-3):
         upd, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, upd), new_bs, opt_state2, total
 
-    step_j = jit_tuned(step, params, batch_stats, opt_state, timg, tsem)
+    step_j = jit_tuned(step, params, batch_stats, opt_state, timg, tlabel)
     for _ in range(steps):
-        params, batch_stats, opt_state, total = step_j(params, batch_stats, opt_state, timg, tsem)
+        params, batch_stats, opt_state, total = step_j(params, batch_stats, opt_state, timg, tlabel)
     jax.block_until_ready(total)
     return {'params': params, 'batch_stats': batch_stats}
 
@@ -233,11 +258,15 @@ def bench_fused_model(typ: str, B: int = 0, iters: int = 8):
     import numpy as np
     from tiseg_tpu.models import build_segmentor
 
-    test_cfg = dict(mode='whole', device_postprocess=True, pp_sweeps=8, radius=1)
+    train_imgs = 8 if typ == 'HoverNet' else 16  # stride-1 trunk: 8x activations
+
+    test_cfg = dict(mode='whole', device_postprocess=True, radius=1)
     seg = build_segmentor(dict(type=typ, num_classes=2, train_cfg=dict(), test_cfg=test_cfg),
                           dtype=jnp.bfloat16)
     variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
-    img = jnp.asarray(np.random.default_rng(0).normal(size=(B, 256, 256, 3)).astype(np.float32)) * 0.2
+    variables = train_briefly(seg, variables, typ=typ, n_imgs=train_imgs)
+    uniq = np.stack([make_bench_nuclei(i)[0] for i in range(16)])
+    img = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
 
     @jax.jit
     def trivial(x):

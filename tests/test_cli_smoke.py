@@ -85,7 +85,7 @@ def test_bench_workload_surface():
     import jax.numpy as jnp
     import bench
     from tiseg_tpu.models import build_segmentor
-    img, sem = bench.make_bench_nuclei(0)
+    img, sem, inst = bench.make_bench_nuclei(0)
     assert img.shape == (256, 256, 3) and 0.12 < sem.mean() < 0.25
     seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(),
                                test_cfg=dict(mode='whole', device_postprocess=True)))

@@ -34,7 +34,9 @@ class InferenceRunner:
                              and segmentor.test_cfg.get('device_postprocess', False))
         self._cache = {}
 
-    def __call__(self, img: np.ndarray, ori_hw):
+    def dispatch(self, img: np.ndarray, ori_hw):
+        """Enqueue the device program and return its (async) jax arrays —
+        the caller can keep doing host work while the device computes."""
         key = (img.shape, tuple(ori_hw))
         if key not in self._cache:
             seg = self.segmentor
@@ -43,8 +45,10 @@ class InferenceRunner:
                     lambda v, im: seg.inference_and_postprocess(v, im, ori_hw=tuple(ori_hw)))
             else:
                 self._cache[key] = jax.jit(lambda v, im: seg.inference(v, im, ori_hw=tuple(ori_hw)))
-        fused = self._cache[key](self.variables, img)
-        return {k: np.asarray(v) for k, v in fused.items()}
+        return self._cache[key](self.variables, img)
+
+    def __call__(self, img: np.ndarray, ori_hw):
+        return {k: np.asarray(v) for k, v in self.dispatch(img, ori_hw).items()}
 
 
 def single_device_test(segmentor, variables, dataset, pre_eval: bool = True, show: bool = False,
@@ -54,11 +58,9 @@ def single_device_test(segmentor, variables, dataset, pre_eval: bool = True, sho
     runner = InferenceRunner(segmentor, variables)
     indices = list(range(len(dataset))) if indices is None else list(indices)
     results = []
-    for n, i in enumerate(indices):
-        item = dataset[i]
-        img = item['data']['img'][None]
-        ori_hw = tuple(item['metas']['ori_hw'])
-        fused = runner(img, ori_hw)
+
+    def consume(i, fused_dev):
+        fused = {k: np.asarray(v) for k, v in fused_dev.items()}
         if runner.fused_device:
             pred = {k: v[0] for k, v in fused.items()}  # already post-processed
         else:
@@ -73,8 +75,24 @@ def single_device_test(segmentor, variables, dataset, pre_eval: bool = True, sho
                 results.extend(dataset.pre_eval(pred, i, show=show, show_folder=show_folder))
         else:
             results.append(pred)
+
+    # one-item software pipeline: dispatch image n+1's device program
+    # (async) BEFORE doing image n's host work (post-proc / pre-eval /
+    # next-item loading), so the device computes while the host consumes.
+    # Results are consumed strictly in order — identical to the serial loop.
+    pending = None
+    for n, i in enumerate(indices):
+        item = dataset[i]
+        img = item['data']['img'][None]
+        ori_hw = tuple(item['metas']['ori_hw'])
+        fused_dev = runner.dispatch(img, ori_hw)
+        if pending is not None:
+            consume(*pending)
+        pending = (i, fused_dev)
         if progress and (n + 1) % 5 == 0:
             logger.info(f'eval [{n + 1}/{len(indices)}]')
+    if pending is not None:
+        consume(*pending)
     return results
 
 
