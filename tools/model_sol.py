@@ -11,6 +11,12 @@ tiseg/models/segmentors/{unet,cdnet,hovernet}.py forward paths.
 
 Usage: python tools/model_sol.py [--models UNet,CDNet,HoverNet] [--batch 0]
 (batch 0 = per-model bench default). Run on the real chip.
+
+--train switches the accounted program to the full training step
+(forward + backward + Adam update, bf16 compute / f32 params, B=32 —
+the BENCH_TRAIN program from bench.py) so the 440 p/s train number gets
+the same roofline treatment as the eval forwards (VERDICT r2 item 7:
+"profile one train step on the real chip — where do the 6.3x go").
 """
 import argparse
 import json
@@ -26,6 +32,46 @@ V5E_BF16_FLOPS = 197e12   # MXU peak, bf16
 V5E_HBM_BPS = 819e9       # HBM bandwidth
 
 FUSED_BATCH = {'HoverNet': 32}
+TRAIN_BATCH = {'HoverNet': 8}
+
+
+def build_train_step(typ: str, B: int, hw: int = 256):
+    """The BENCH_TRAIN program (bench.py): one donated jitted step of
+    forward + backward + Adam on bf16 compute / f32 params. Returns
+    (step, state, batch) with step: (state) -> state (loss folded into
+    batch_stats consumer to keep the signature chainable)."""
+    import jax
+    import jax.numpy as jnp
+    from bench import make_universal_label_batch
+    from tiseg_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from tiseg_tpu.engine.train_state import TrainState
+    from tiseg_tpu.models import build_segmentor
+
+    if 'MicroNet' in typ:
+        hw = 252
+    seg = build_segmentor(dict(type=typ, num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')),
+                          dtype=jnp.bfloat16)
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(hw, hw))
+    schedule = build_lr_schedule(dict(policy='fixed'), 1e-4, 1, 100)
+    tx = build_optimizer(dict(type='Adam', lr=1e-4, weight_decay=5e-4), schedule)
+    state = TrainState.create(variables['params'], variables['batch_stats'], tx)
+    rng = np.random.default_rng(0)
+    batch = {'data': {'img': jnp.asarray(rng.normal(size=(B, hw, hw, 3)).astype(np.float32))},
+             'label': make_universal_label_batch(B, hw)}
+    base_key = jax.random.PRNGKey(0)
+
+    def one_step(st):
+        key = jax.random.fold_in(base_key, st.step)
+
+        def loss_fn(params):
+            vs = {'params': params, 'batch_stats': st.batch_stats}
+            total, (logs, new_model_state) = seg.loss(vs, batch, train=True, rng=key)
+            return total, new_model_state['batch_stats']
+
+        (total, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+        return st.apply_gradients(grads).replace(batch_stats=new_bs)
+
+    return one_step, state
 
 
 def main():
@@ -33,9 +79,16 @@ def main():
     ap.add_argument('--models', default='UNet,CDNet,HoverNet')
     ap.add_argument('--batch', type=int, default=0)
     ap.add_argument('--iters', type=int, default=8)
+    ap.add_argument('--hw', type=int, default=256)
+    ap.add_argument('--train', action='store_true',
+                    help='account the full train step (fwd+bwd+Adam) instead of the eval forward')
+    ap.add_argument('--cpu', action='store_true',
+                    help='force the CPU backend (smoke tests; JAX_PLATFORMS env is overridden by the image)')
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
     try:
         jax.config.update('jax_compilation_cache_dir', '/tmp/tiseg_jax_cache')
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
@@ -46,17 +99,46 @@ def main():
 
     rows = []
     for typ in args.models.split(','):
-        B = args.batch or FUSED_BATCH.get(typ, 64)
-        seg = build_segmentor(dict(type=typ, num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')),
-                              dtype=jnp.bfloat16)
-        variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
-        img = jnp.asarray(np.random.default_rng(0).normal(size=(B, 256, 256, 3)).astype(np.float32)) * 0.2
+        opts = {'xla_tpu_scoped_vmem_limit_kib': '65536'}
+        if args.train:
+            B = args.batch or TRAIN_BATCH.get(typ, 32)
+            one_step, state = build_train_step(typ, B, hw=args.hw)
+            compiled = jax.jit(one_step).lower(state).compile()
 
-        def net(im):
-            out = seg.forward_heads(variables, im, train=False)
-            return jnp.float32(sum(jnp.max(v).astype(jnp.float32) for v in out.values()))
+            def _chain(st):
+                return jax.lax.fori_loop(0, args.iters, lambda i, s: one_step(s), st)
 
-        compiled = jax.jit(net).lower(img).compile()
+            try:
+                chain = jax.jit(_chain).lower(state).compile(compiler_options=opts)
+            except Exception:
+                chain = jax.jit(_chain)
+            rpc_arg = state.step
+            run = lambda: jax.block_until_ready(chain(state))
+        else:
+            B = args.batch or FUSED_BATCH.get(typ, 64)
+            seg = build_segmentor(dict(type=typ, num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')),
+                                  dtype=jnp.bfloat16)
+            variables = seg.init_variables(jax.random.PRNGKey(0), hw=(args.hw, args.hw))
+            img = jnp.asarray(np.random.default_rng(0).normal(size=(B, args.hw, args.hw, 3)).astype(np.float32)) * 0.2
+
+            def net(im):
+                out = seg.forward_heads(variables, im, train=False)
+                return jnp.float32(sum(jnp.max(v).astype(jnp.float32) for v in out.values()))
+
+            compiled = jax.jit(net).lower(img).compile()
+
+            def _chain(im):
+                def body(i, carry):
+                    return net(im + carry * 1e-12)
+                return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0.0))
+
+            try:
+                chain = jax.jit(_chain).lower(img).compile(compiler_options=opts)
+            except Exception:
+                chain = jax.jit(_chain)
+            rpc_arg = img
+            run = lambda: float(chain(img))
+
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get('flops', 0.0))
@@ -65,31 +147,21 @@ def main():
         # measured: chained fori_loop, RPC-subtracted (bench.py methodology)
         @jax.jit
         def trivial(x):
-            return jnp.float32(x[0, 0, 0, 0])
+            return jnp.float32(jnp.ravel(x)[0])
 
-        float(trivial(img))
+        jax.block_until_ready(trivial(rpc_arg))
         lat = []
         for _ in range(5):
             t0 = time.perf_counter()
-            float(trivial(img))
+            jax.block_until_ready(trivial(rpc_arg))
             lat.append(time.perf_counter() - t0)
         rpc = sorted(lat)[len(lat) // 2]
 
-        def _chain(im):
-            def body(i, carry):
-                return net(im + carry * 1e-12)
-            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0.0))
-
-        opts = {'xla_tpu_scoped_vmem_limit_kib': '65536'}
-        try:
-            chain = jax.jit(_chain).lower(img).compile(compiler_options=opts)
-        except Exception:
-            chain = jax.jit(_chain)
-        float(chain(img))
+        run()
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            float(chain(img))
+            run()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         t_meas = max(best - rpc, 1e-9) / args.iters
