@@ -457,9 +457,87 @@ def bench_train(typ: str = 'UNet', B: int = 32, iters: int = 8, hw: int = 256):
     return rate
 
 
+def bench_int8(B: int = 0, iters: int = 16, hw: int = 256):
+    """Int8 post-training-quantized fast path vs the shipped bf16 fast path
+    (quant_decode.py): same briefly-trained UNet, same chained methodology,
+    plus the argmax disagreement the 8-bit rounding costs on the
+    representative workload. Gates whether the int8 path is worth wiring
+    into the fused e2e program (v5e int8 MXU peak is 2x bf16)."""
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/tmp/tiseg_jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+    from tiseg_tpu.models import build_segmentor
+    from tiseg_tpu.models.heads import quant_decode
+
+    B = B or int(os.environ.get('BENCH_BATCH', 128))
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(),
+                               test_cfg=dict(mode='whole')), dtype=jnp.bfloat16)
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(hw, hw))
+    variables = train_briefly(seg, variables, hw=hw)
+    prep = seg.prepare_inference(variables)
+
+    uniq = np.stack([make_bench_nuclei(i, hw=hw)[0] for i in range(16)])
+    img = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
+
+    scales = jax.jit(lambda im: quant_decode.calibrate(prep['vgg'], prep['head'], im,
+                                                       dtype=jnp.bfloat16))(img)
+    fpq = quant_decode.quantize_params(prep['vgg'], prep['head'],
+                                       jax.device_get(scales))
+
+    @jax.jit
+    def trivial(x):
+        return jnp.float32(x[0, 0, 0, 0])
+
+    float(trivial(img))
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(img))
+        lat.append(time.perf_counter() - t0)
+    rpc = sorted(lat)[len(lat) // 2]
+
+    def measure(fwd):
+        def _chain(im):
+            def body(i, carry):
+                logits = fwd(im + carry * 1e-12)
+                return jnp.mean(jnp.argmax(logits, axis=-1).astype(jnp.float32))
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        chain = jit_tuned(_chain, img)
+        float(chain(img))
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(img))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return B * iters / max(best - rpc, 1e-9)
+
+    fwd_bf16 = lambda im: quant_decode.apply_fast_unet_bf16(prep['vgg'], prep['head'], im)
+    fwd_int8 = lambda im: quant_decode.apply_fast_unet_q(prep['vgg'], prep['head'], fpq, im)
+    rate_bf16 = measure(fwd_bf16)
+    rate_int8 = measure(fwd_int8)
+
+    a_bf16 = np.asarray(jax.jit(lambda im: jnp.argmax(fwd_bf16(im), -1))(img))
+    a_int8 = np.asarray(jax.jit(lambda im: jnp.argmax(fwd_int8(im), -1))(img))
+    agree = float((a_bf16 == a_int8).mean())
+    print(json.dumps({'metric': 'unet_int8_vs_bf16_net', 'bf16_pps': round(rate_bf16, 1),
+                      'int8_pps': round(rate_int8, 1),
+                      'speedup': round(rate_int8 / rate_bf16, 3),
+                      'argmax_agreement': round(agree, 6), 'B': B}))
+    return rate_int8, rate_bf16, agree
+
+
 if __name__ == '__main__':
     models = os.environ.get('BENCH_MODELS', '')
-    if os.environ.get('BENCH_WHOLE', ''):
+    if os.environ.get('BENCH_INT8', ''):
+        bench_int8()
+    elif os.environ.get('BENCH_WHOLE', ''):
         bench_whole_image()
     elif os.environ.get('BENCH_TRAIN', ''):
         for name in (os.environ['BENCH_TRAIN'].split(',') if os.environ['BENCH_TRAIN'] != '1'

@@ -1,0 +1,78 @@
+"""Int8 quantized fast-path (quant_decode.py) mechanics.
+
+Pins on CPU: (a) the module's bf16/f32 executor is bit-identical to the
+shipped fast path (same algebra, just a pluggable conv site), (b) the
+int8 path's logits stay close to the float path and agree on argmax
+almost everywhere (8-bit rounding only), (c) calibration records a scale
+for every quantized site.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tiseg_tpu.models import build_segmentor
+from tiseg_tpu.models.heads import quant_decode
+from tiseg_tpu.models.heads.fast_decode import apply_fast_unet_head, apply_fast_vgg16
+
+
+@pytest.fixture(scope='module')
+def unet_prep():
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(),
+                               test_cfg=dict(mode='whole')))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    # randomize BN stats so folding isn't hiding behind identity norms
+    bs = jax.tree_util.tree_map(lambda a: a, variables['batch_stats'])
+
+    def jitter(path, a):
+        key = jax.random.PRNGKey(hash(jax.tree_util.keystr(path)) % (2**31))
+        if path[-1].key == 'var':
+            return a * jax.random.uniform(key, a.shape, minval=0.5, maxval=1.5)
+        return a + jax.random.normal(key, a.shape) * 0.05
+
+    variables = {'params': variables['params'],
+                 'batch_stats': jax.tree_util.tree_map_with_path(jitter, bs)}
+    prep = seg.prepare_inference(variables)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32)) * 0.5
+    return seg, prep, img
+
+
+def test_float_executor_matches_shipped_fast_path(unet_prep):
+    seg, prep, img = unet_prep
+    dtype = seg.net.dtype
+    want_feats = apply_fast_vgg16(prep['vgg'], img, dtype=dtype)
+    want = apply_fast_unet_head(prep['head'], want_feats[-1], want_feats[:-1], dtype=dtype)
+    got = quant_decode.apply_fast_unet_bf16(prep['vgg'], prep['head'], img, dtype=dtype)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-5)
+
+
+def test_calibration_covers_every_quantized_site(unet_prep):
+    seg, prep, img = unet_prep
+    scales = jax.jit(lambda im: quant_decode.calibrate(prep['vgg'], prep['head'], im, dtype=seg.net.dtype))(img)
+    fpq = quant_decode.quantize_params(prep['vgg'], prep['head'], scales)
+    assert set(fpq['wq']) <= set(fpq['act']), 'every weight site needs an activation scale'
+    for k, v in fpq['act'].items():
+        assert float(v) > 0
+    # every int8 weight really is int8
+    for k, (wq, sw) in fpq['wq'].items():
+        assert wq.dtype == jnp.int8, k
+        assert sw.ndim == 1
+
+
+def test_int8_close_to_float_and_argmax_agrees(unet_prep):
+    seg, prep, img = unet_prep
+    dtype = seg.net.dtype
+    scales = quant_decode.calibrate(prep['vgg'], prep['head'], img, dtype=dtype)
+    fpq = quant_decode.quantize_params(prep['vgg'], prep['head'], scales)
+    want = np.asarray(quant_decode.apply_fast_unet_bf16(prep['vgg'], prep['head'], img,
+                                                        dtype=dtype), np.float32)
+    got = np.asarray(jax.jit(lambda im: quant_decode.apply_fast_unet_q(
+        prep['vgg'], prep['head'], fpq, im, dtype=dtype))(img), np.float32)
+    assert got.shape == want.shape
+    # 8-bit rounding: loose elementwise band relative to the logit range
+    rng_ = float(want.max() - want.min())
+    assert float(np.abs(got - want).max()) < 0.25 * rng_ + 1e-3
+    agree = float((got.argmax(-1) == want.argmax(-1)).mean())
+    assert agree > 0.98, f'argmax agreement {agree}'
