@@ -157,6 +157,9 @@ def main():
     # all 16 trained-net planes vs the host oracle, and only -0.6% vs the
     # truncated sweeps=8 setting — the sweep loops exit at their fixpoint)
     test_cfg = dict(mode='whole', device_postprocess=True, radius=1)
+    int8_e2e = os.environ.get('BENCH_INT8_E2E', '') == '1'
+    if int8_e2e:
+        test_cfg['int8_eval'] = True
     if os.environ.get('BENCH_PP_SWEEPS'):
         test_cfg['pp_sweeps'] = int(os.environ['BENCH_PP_SWEEPS'])
     seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=test_cfg),
@@ -218,6 +221,8 @@ def main():
         uniq = np.stack([make_bench_nuclei(i)[0] for i in range(16)])
         img_r = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
         jax.block_until_ready(img_r)
+        if int8_e2e:
+            seg.calibrate_int8(variables, img_r)
 
         def _fused_chain(variables, im):
             def body(i, carry):
@@ -237,7 +242,8 @@ def main():
         total_rate = B * ITERS / max(best - rpc_latency, 1e-9)
 
     print(json.dumps({
-        'metric': 'unet_256x256_fused_e2e_throughput' if include_postproc else 'unet_256x256_infer_throughput',
+        'metric': (('unet_256x256_fused_e2e_throughput' if include_postproc
+                    else 'unet_256x256_infer_throughput') + ('_int8' if int8_e2e else '')),
         'value': round(total_rate, 1),
         'unit': 'patches/sec/chip',
         'vs_baseline': round(total_rate / BASELINE_PATCHES_PER_SEC, 3),

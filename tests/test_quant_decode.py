@@ -76,3 +76,40 @@ def test_int8_close_to_float_and_argmax_agrees(unet_prep):
     assert float(np.abs(got - want).max()) < 0.25 * rng_ + 1e-3
     agree = float((got.argmax(-1) == want.argmax(-1)).mean())
     assert agree > 0.98, f'argmax agreement {agree}'
+
+
+def test_int8_e2e_wiring():
+    """test_cfg['int8_eval'] + calibrate_int8 routes the fused eval program
+    through the quantized convs; uncalibrated it stays on bf16; predictions
+    agree with the float program almost everywhere."""
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32)) * 0.5
+    cfg = dict(type='UNet', num_classes=2, train_cfg=dict(),
+               test_cfg=dict(mode='whole', device_postprocess=True, radius=1, int8_eval=True))
+    seg = build_segmentor(cfg)
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    # uncalibrated: prep has no int8 tree
+    assert 'int8' not in (seg.prepare_inference(variables) or {})
+    base = jax.jit(lambda v, im: seg.inference_and_postprocess(v, im))(variables, img)
+    seg.calibrate_int8(variables, img)
+    assert 'int8' in seg.prepare_inference(variables)
+    quant = jax.jit(lambda v, im: seg.inference_and_postprocess(v, im))(variables, img)
+    # a random-init net has near-zero logit margins, so 8-bit rounding flips
+    # argmax at no-margin pixels freely (the trained-workload agreement is
+    # 99.8%+, bench_int8). Pin instead: where the float program has a real
+    # margin, the int8 program agrees.
+    prep = seg.prepare_inference(variables)
+    prep_bf = {k: v for k, v in prep.items() if k != 'int8'}
+    logits = np.asarray(jax.jit(lambda v, im: seg.forward_heads(v, im, prep=prep_bf)['sem'])(
+        variables, img), np.float32)
+    logits_q = np.asarray(jax.jit(lambda v, im: seg.forward_heads(v, im, prep=prep)['sem'])(
+        variables, img), np.float32)
+    # raw argmax at confident pixels must agree (post-proc amplifies single-
+    # pixel flips into region-level sem_pred changes, so it gets a loose pin)
+    margin = np.abs(logits[..., 1] - logits[..., 0])
+    confident = margin > 0.1 * float(margin.max())
+    raw_same = logits.argmax(-1) == logits_q.argmax(-1)
+    agree_conf = float(raw_same[confident].mean())
+    assert agree_conf > 0.995, agree_conf
+    same = np.asarray(base['sem_pred']) == np.asarray(quant['sem_pred'])
+    assert float(same.mean()) > 0.9

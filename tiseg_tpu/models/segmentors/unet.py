@@ -71,17 +71,40 @@ class FastVGGUNetEval:
     def prepare_inference(self, variables):
         """Fold BN + build phase-space weights once per eval program (the
         scatter is ~100 small ops; rebuilding it inside a TTA/patch loop
-        would repeat per call)."""
+        would repeat per call). If ``test_cfg['int8_eval']`` is set AND
+        ``calibrate_int8`` has been called, the prep additionally carries
+        the int8 parameter tree and eval routes through the quantized
+        convs (heads/quant_decode.py)."""
         if not self._fast_eval_enabled():
             return None
         from ..heads.fast_decode import build_fast_unet_head_params, build_fast_vgg16_params
         dtype = self.net.dtype
-        return {
+        prep = {
             'vgg': build_fast_vgg16_params(variables['params']['backbone'],
                                            variables['batch_stats']['backbone'], dtype=dtype),
             'head': build_fast_unet_head_params(variables['params']['head'],
                                                 variables['batch_stats']['head'], dtype=dtype),
         }
+        if self.test_cfg.get('int8_eval', False) and getattr(self, '_int8_fpq', None) is not None:
+            prep['int8'] = self._int8_fpq
+        return prep
+
+    def calibrate_int8(self, variables, calib_img):
+        """One-batch abs-max calibration + weight quantization for the int8
+        eval path. Call once (eagerly) with a representative image batch;
+        subsequent jitted eval programs pick the quantized route up via
+        ``test_cfg['int8_eval']``."""
+        import jax
+
+        from ..heads.quant_decode import calibrate, quantize_params
+        self._int8_fpq = None
+        prep = self.prepare_inference(variables)
+        if prep is None:
+            raise ValueError('int8 eval requires the fast eval path (fast_eval=True)')
+        dtype = self.net.dtype
+        scales = jax.jit(lambda im: calibrate(prep['vgg'], prep['head'], im, dtype=dtype))(calib_img)
+        self._int8_fpq = quantize_params(prep['vgg'], prep['head'], jax.device_get(scales))
+        return self._int8_fpq
 
     def forward_heads(self, variables, img, train: bool = False, rng=None, mutable=False, prep=None):
         if (train or mutable or not self._fast_eval_enabled()
@@ -91,6 +114,10 @@ class FastVGGUNetEval:
         dtype = self.net.dtype
         if prep is None:
             prep = self.prepare_inference(variables)
+        if 'int8' in prep:
+            from ..heads.quant_decode import apply_fast_unet_q
+            return {'sem': apply_fast_unet_q(prep['vgg'], prep['head'], prep['int8'],
+                                             img, dtype=dtype)}
         feats = apply_fast_vgg16(prep['vgg'], img, dtype=dtype)
         sem = apply_fast_unet_head(prep['head'], feats[-1], feats[:-1], dtype=dtype)
         return {'sem': sem}
