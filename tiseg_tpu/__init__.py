@@ -12,4 +12,21 @@ jit-everything, batch-of-patches data parallelism over a device mesh.
 
 __version__ = '0.1.0'
 
+import os as _os
+
+if _os.environ.get('JAX_PLATFORMS'):
+    # Honor the env var as documented jax behavior. Some images register
+    # an out-of-tree PJRT plugin from sitecustomize in a way that defeats
+    # env-level platform selection (jax then initializes — and, with the
+    # device tunnel down, hangs in — the plugin backend even under
+    # JAX_PLATFORMS=cpu). Re-asserting the env value through jax.config
+    # before any backend initializes restores the documented semantics;
+    # it is a no-op where env selection already works.
+    import jax as _jax
+
+    try:
+        _jax.config.update('jax_platforms', _os.environ['JAX_PLATFORMS'])
+    except Exception:
+        pass
+
 from . import utils  # noqa: F401
