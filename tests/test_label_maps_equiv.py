@@ -65,6 +65,26 @@ def test_unet_weight_matches_naive(seed):
     np.testing.assert_allclose(out['loss_weight_map'], want, atol=1e-9)
 
 
+@pytest.mark.parametrize('num_angles', [4, 8, 16])
+def test_dir_map_fast_path_matches_vector_roundtrip(num_angles):
+    """calculate_dir_map's single align pass vs the reference's
+    align -> unit vector -> arctan2 -> align chain (_dir_map_via_vectors):
+    the roundtrip is the identity on sector centers, so the labels must be
+    equal everywhere — including exact sector-boundary angles."""
+    rng = np.random.default_rng(0)
+    H = W = 64
+    inst = (rng.random((H, W)) < 0.7).astype(np.int32)
+    grad = rng.normal(size=(H, W, 2))
+    # sprinkle exact boundary directions (angle = step/2 + k*step)
+    step = 360.0 / num_angles
+    ang = np.deg2rad(step / 2 + step * rng.integers(0, num_angles, H))
+    grad[0, :, 0] = np.sin(ang)
+    grad[0, :, 1] = np.cos(ang)
+    fast = DirectionLabelMake.calculate_dir_map(inst, grad, num_angles)
+    naive = DirectionLabelMake._dir_map_via_vectors(inst, grad, num_angles)
+    np.testing.assert_array_equal(fast, naive)
+
+
 def test_direction_center_analytic_positions():
     inst = fix_instance(blobs(2))
     data = {'sem_gt': (inst > 0).astype(np.uint8), 'inst_gt': inst.copy(), 'seg_fields': [], 'data_info': {}}

@@ -3,7 +3,9 @@ import numpy as np
 import pytest
 
 from tiseg_tpu import native
-from tiseg_tpu.datasets.ops.label_maps import UNetLabelMake, instance_boxes, _pad_slices
+from tiseg_tpu.datasets.ops.label_maps import DirectionLabelMake, UNetLabelMake, instance_boxes, _pad_slices
+from tiseg_tpu.datasets.utils.center import calculate_centerpoint as np_centerpoint
+from tiseg_tpu.datasets.utils.direction import LABEL_TO_VECTOR
 from tiseg_tpu.datasets.utils.instance import fix_instance as np_fix_instance
 from tiseg_tpu.utils import morphology as m
 
@@ -58,6 +60,48 @@ def test_unet_weight_map_native(seed):
     want = lm._get_weight_map(inner, ids)
     got = native.unet_weight_map(inner, int(inner.max()), lm.TRUNC, lm.w0, lm.sigma)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('seed', [0, 2, 7])
+def test_all_centerpoints_bbox_fastpath_exact(seed):
+    """The bbox-bounded bisection start (labelmaps.cpp centerpoints_impl)
+    must be bit-identical to the reference 24-iteration search from
+    [0, 1e6] (datasets/utils/center.py)."""
+    inst = np_fix_instance(blobs(seed))
+    got = native.all_centerpoints(inst, int(inst.max()))
+    assert got is not None
+    for k, _ in instance_boxes(inst):
+        want = np_centerpoint((inst == k).astype(np.uint8))
+        assert [int(got[k, 0]), int(got[k, 1])] == want
+
+
+@pytest.mark.parametrize('seed,to_center', [(0, True), (3, True), (0, False)])
+def test_dlm_point_maps_native(seed, to_center, monkeypatch):
+    """One-call native per-instance stage vs the python bbox loop: dist is
+    bit-equal (both cast the same f64 values to f32), gradient matches to
+    f32 summation-order tolerance, centers/point map are identical."""
+    inst = np_fix_instance(blobs(seed))
+    monkeypatch.setattr(native, 'dlm_point_maps', lambda *a, **k: None)
+    p_want, g_want, d_want = DirectionLabelMake.calculate_point_map(inst, to_center=to_center)
+    monkeypatch.undo()
+    p_got, g_got, d_got = DirectionLabelMake.calculate_point_map(inst, to_center=to_center)
+    np.testing.assert_array_equal(d_got, d_want)
+    np.testing.assert_allclose(g_got, g_want, rtol=1e-4, atol=2e-5)
+    np.testing.assert_array_equal(p_got, p_want)
+
+
+@pytest.mark.parametrize('seed', [0, 4])
+def test_ddm_weight_native(seed, monkeypatch):
+    """Native DDM weight map vs the python table path on identical
+    dir/dist inputs."""
+    inst = np_fix_instance(blobs(seed))
+    _, g, dist = DirectionLabelMake.calculate_point_map(inst, to_center=True)
+    dir_map = DirectionLabelMake.calculate_dir_map(inst, g, 8)
+    got = native.ddm_weight(dir_map, dist, LABEL_TO_VECTOR[9])
+    assert got is not None
+    monkeypatch.setattr(native, 'ddm_weight', lambda *a, **k: None)
+    want = DirectionLabelMake.calculate_weight_map(dir_map, dist, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
 @pytest.mark.parametrize('seed,r0,r1', [(0, 3, 3), (3, 1, 1), (4, 2, 4)])

@@ -16,6 +16,7 @@ from scipy.ndimage import gaussian_filter
 
 from ...utils import morphology as m
 from ...utils.misc import get_bounding_box
+from ..utils import direction
 from ..utils.center import fast_centerpoint as calculate_centerpoint
 from ..utils.direction import angle_to_vector, generate_direction_differential_map, vector_to_label
 from ..utils.gradient import calculate_gradient
@@ -198,8 +199,10 @@ class DirectionLabelMake:
         data['inst_gt'] = inst_gt
 
         point_map, gradient_map, dist_map = self.calculate_point_map(inst_gt, to_center=self.to_center)
-        dir_map = self.calculate_dir_map(inst_gt, gradient_map, self.num_angles)
-        reg_dir_map = self.calculate_regression_dir_map(inst_gt, gradient_map)
+        # one full-image arctan2, shared by the class and regression maps
+        angle = np.degrees(np.arctan2(gradient_map[..., 0], gradient_map[..., 1]))
+        dir_map = self.calculate_dir_map(inst_gt, gradient_map, self.num_angles, angle=angle)
+        reg_dir_map = self.calculate_regression_dir_map(inst_gt, gradient_map, angle=angle)
         if self.num_angles == 8:
             weight_map = self.calculate_weight_map(dir_map, dist_map, self.num_angles)
         else:
@@ -214,13 +217,39 @@ class DirectionLabelMake:
 
     @staticmethod
     def calculate_weight_map(dir_map, dist_map, num_angle_types):
+        try:  # native twin: table DDM + dilation in one pass (exactness
+            # pinned in tests/test_native_labelmaps.py)
+            from ... import native
+            out = native.ddm_weight(dir_map, dist_map,
+                                    direction.LABEL_TO_VECTOR[num_angle_types + 1])
+            if out is not None:
+                return out
+        except Exception:
+            pass
         dd = generate_direction_differential_map(dir_map, num_angle_types + 1)[0]
         weight = dd * (10 - dist_map)
         weight = m.dilation(weight, m.disk(1))
         return weight.astype(np.float32) * 2 + 1.0
 
     @staticmethod
-    def calculate_dir_map(instance_map, gradient_map, num_angle_types):
+    def calculate_dir_map(instance_map, gradient_map, num_angle_types, angle=None):
+        if angle is None:
+            angle = np.degrees(np.arctan2(gradient_map[..., 0], gradient_map[..., 1]))
+        else:
+            angle = angle.copy()
+        angle[instance_map == 0] = 0
+        # one align_angle pass: snapping to a sector center, converting to
+        # its unit vector, and re-quantizing the arctan2 of that vector
+        # (_dir_map_via_vectors, the reference formulation) is the identity
+        # on the sector centers — pinned in tests/test_label_maps_equiv.py
+        dir_map = direction.angle_to_direction_label(angle, num_classes=num_angle_types)
+        dir_map[instance_map == 0] = -1
+        return dir_map + 1
+
+    @staticmethod
+    def _dir_map_via_vectors(instance_map, gradient_map, num_angle_types):
+        """Reference formulation (direction_map.py:88-97): kept as the
+        naive twin for the fast-path equivalence test."""
         angle = np.degrees(np.arctan2(gradient_map[..., 0], gradient_map[..., 1]))
         angle[instance_map == 0] = 0
         vec = angle_to_vector(angle, num_angle_types)
@@ -229,8 +258,11 @@ class DirectionLabelMake:
         return dir_map + 1
 
     @staticmethod
-    def calculate_regression_dir_map(instance_map, gradient_map):
-        angle = np.degrees(np.arctan2(gradient_map[..., 0], gradient_map[..., 1]))
+    def calculate_regression_dir_map(instance_map, gradient_map, angle=None):
+        if angle is None:
+            angle = np.degrees(np.arctan2(gradient_map[..., 0], gradient_map[..., 1]))
+        else:
+            angle = angle.copy()
         angle[angle < 0] += 360
         angle[instance_map == 0] = 0
         return angle / 180 * np.pi
@@ -247,6 +279,23 @@ class DirectionLabelMake:
         point_map = np.zeros((H, W), dtype=np.float32)
 
         boxes = instance_boxes(instance_map)
+        try:  # native one-call twin of the whole per-instance stage
+            # (centers + distance + gradient; tests/test_native_labelmaps.py)
+            from ... import native
+            res = (native.dlm_point_maps(instance_map, int(max(k for k, _ in boxes)),
+                                         ksize=11, to_center=to_center)
+                   if boxes else None)
+        except Exception:
+            res = None
+        if res is not None:
+            dist_map, gradient_map, centers = res
+            ys, xs = centers[1:, 0], centers[1:, 1]
+            ok = ys >= 0
+            point_map[ys[ok], xs[ok]] = 1
+            assert int(point_map.sum()) == len(boxes)
+            point_map_gaussian = gaussian_filter(point_map * 255, sigma=2, order=0).astype(np.float32)
+            return point_map_gaussian, gradient_map, (dist_map**0.5) * 10
+
         all_centers = None
         try:  # one native call for every id beats per-crop ctypes calls
             from ... import native

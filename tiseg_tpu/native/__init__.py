@@ -107,6 +107,10 @@ def _load_lm():
     lib.bound_map.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                               ctypes.POINTER(ctypes.c_uint8)]
     lib.all_centerpoints.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int32, c_i32p]
+    lib.dlm_point_maps.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+                                   ctypes.c_int, ctypes.c_int, c_f32p, c_f32p, c_i32p]
+    lib.ddm_weight.argtypes = [c_i32p, c_f32p, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int, c_i32p, c_f32p]
     _lib_lm = lib
     return lib
 
@@ -164,6 +168,45 @@ def all_centerpoints(inst: np.ndarray, n_ids: int):
     out = np.full((n_ids + 1, 2), -1, np.int32)
     lib.all_centerpoints(inst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, n_ids,
                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def dlm_point_maps(inst: np.ndarray, n_ids: int, ksize: int = 11, to_center: bool = True):
+    """DirectionLabelMake per-instance stage in one call: returns
+    (dist f32 (H, W) pre-sqrt-scaling, grad f32 (H, W, 2), centers (n_ids+1, 2)
+    global yx, -1 where absent); None without a compiler."""
+    lib = _load_lm()
+    if lib is None:
+        return None
+    inst = _i32(inst)
+    h, w = inst.shape
+    dist = np.zeros((h, w), np.float32)
+    grad = np.zeros((h, w, 2), np.float32)
+    centers = np.full((n_ids + 1, 2), -1, np.int32)
+    lib.dlm_point_maps(inst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, n_ids,
+                       ksize, int(to_center),
+                       dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                       grad.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                       centers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return dist, grad, centers
+
+
+def ddm_weight(dir_map: np.ndarray, dist_map: np.ndarray, vecs: np.ndarray):
+    """DirectionLabelMake DDM loss-weight map in one call; ``vecs`` is the
+    (C, 2) LABEL_TO_VECTOR table for C = num_angles + 1. None without a
+    compiler."""
+    lib = _load_lm()
+    if lib is None:
+        return None
+    dir_map = _i32(dir_map)
+    h, w = dir_map.shape
+    dist = np.ascontiguousarray(np.asarray(dist_map, np.float32))
+    vecs = _i32(vecs)
+    out = np.zeros((h, w), np.float32)
+    lib.ddm_weight(dir_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                   dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+                   len(vecs), vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
 
 
