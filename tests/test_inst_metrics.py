@@ -131,6 +131,21 @@ def test_empty_cases():
     assert (tp, fp, fn, iou) == (0, 1, 0, 0.0)
 
 
+def test_all_empty_prediction_reducers_do_not_crash():
+    """An untrained model predicting zero instances on every image must
+    yield nan (sanitizable via nan_to_num), not ZeroDivisionError —
+    pre_eval_bin_aji early-exits to (0, 0) rows in that case."""
+    from tiseg_tpu.utils.metrics.inst_metrics import (pre_eval_to_aji, pre_eval_to_bin_aji,
+                                                      pre_eval_to_inst_dice)
+    rows = [(0., 0.), (0., 0.)]
+    with np.errstate(invalid='ignore', divide='ignore'):
+        assert np.isnan(pre_eval_to_aji(rows)['Aji'])
+        assert np.isnan(pre_eval_to_bin_aji(rows)['Aji'])
+        assert pre_eval_to_aji(rows, nan_to_num=0.0)['Aji'] == 0.0
+        dice = pre_eval_to_inst_dice([(0., 0., 0., 0.)] * 2, nan_to_num=0.0)
+    assert dice['InstDice'] == 0.0
+
+
 def test_pq_reducers():
     rng = np.random.default_rng(7)
     pre = []

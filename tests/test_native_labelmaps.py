@@ -104,6 +104,46 @@ def test_ddm_weight_native(seed, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize('seed', [0, 3])
+def test_hv_map_native(seed, monkeypatch):
+    """Native HV map vs the numpy per-instance loop: bit-equal (integer
+    offsets, same f32 divisions)."""
+    from tiseg_tpu.datasets.ops import HVLabelMake
+    inst = np_fix_instance(blobs(seed))
+    mk = lambda: {'inst_gt': inst.copy(), 'sem_gt': (inst > 0).astype(np.int32), 'seg_fields': []}
+    got = HVLabelMake()(mk())['hv_gt']
+    monkeypatch.setattr(native, 'hv_map', lambda *a, **k: None)
+    want = HVLabelMake()(mk())['hv_gt']
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize('seed,inst_norm', [(0, True), (3, True), (0, False)])
+def test_dist_cdt_map_native(seed, inst_norm, monkeypatch):
+    """Native chessboard distance map vs the numpy/scipy loop: bit-equal
+    (exact integer chamfer, same f32 normalization)."""
+    from tiseg_tpu.datasets.ops import DistanceLabelMake
+    inst = np_fix_instance(blobs(seed))
+    mk = lambda: {'inst_gt': inst.copy(), 'sem_gt': (inst > 0).astype(np.int32), 'seg_fields': []}
+    got = DistanceLabelMake(inst_norm=inst_norm)(mk())['dist_gt']
+    monkeypatch.setattr(native, 'dist_cdt_map', lambda *a, **k: None)
+    want = DistanceLabelMake(inst_norm=inst_norm)(mk())['dist_gt']
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dist_cdt_map_native_no_background_crop(monkeypatch):
+    """Instance filling its whole (clamped) crop: scipy cdt yields -1 -> the
+    normalized path skips it, the unnormalized path writes -1."""
+    from tiseg_tpu.datasets.ops import DistanceLabelMake
+    inst = np.ones((16, 16), np.int32)  # fills the image: crop has no bg px
+    for norm in (True, False):
+        mk = lambda: {'inst_gt': inst.copy(), 'sem_gt': (inst > 0).astype(np.int32), 'seg_fields': []}
+        got = DistanceLabelMake(inst_norm=norm)(mk())['dist_gt']
+        with monkeypatch.context() as mp:
+            mp.setattr(native, 'dist_cdt_map', lambda *a, **k: None)
+            want = DistanceLabelMake(inst_norm=norm)(mk())['dist_gt']
+        np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize('seed,r0,r1', [(0, 3, 3), (3, 1, 1), (4, 2, 4)])
 def test_bound_map_native(seed, r0, r1):
     inst = np_fix_instance(blobs(seed))

@@ -44,6 +44,15 @@ def _pad_slices(sl, pad, shape):
             slice(max(xs.start - pad, 0), min(xs.stop + pad, shape[1])))
 
 
+def _boxes_array(inst_gt, pad=2):
+    """(nb, 5) int32 (id, y0, y1, x0, x1) padded+clamped rows for the native
+    per-instance kernels."""
+    h, w = inst_gt.shape[:2]
+    return np.array([[k, max(sl[0].start - pad, 0), min(sl[0].stop + pad, h),
+                      max(sl[1].start - pad, 0), min(sl[1].stop + pad, w)]
+                     for k, sl in instance_boxes(inst_gt)], np.int32).reshape(-1, 5)
+
+
 class BoundLabelMake:
     """sem_gt_w_bound: background/foreground(+classes)/boundary(=edge_id).
 
@@ -357,15 +366,25 @@ class DistanceLabelMake:
         data['sem_gt'] = sem_gt
         data['inst_gt'] = inst_gt
 
+        try:  # native twin: per-instance chessboard chamfer in one call
+            # (tests/test_native_labelmaps.py pins exactness)
+            from ... import native
+            out = native.dist_cdt_map(inst_gt, _boxes_array(inst_gt), self.inst_norm)
+            if out is not None:
+                data['dist_gt'] = out
+                data['seg_fields'].append('dist_gt')
+                return data
+        except Exception:
+            pass
         dist_gt = np.zeros(inst_gt.shape, dtype=np.float32)
         h, w = inst_gt.shape[:2]
-        for inst_id in np.unique(inst_gt):
-            if inst_id == 0:
-                continue
-            inst_map = (inst_gt == inst_id).astype(np.uint8)
-            box = get_bounding_box(inst_map)
-            box = [max(box[0] - 2, 0), min(box[1] + 2, h), max(box[2] - 2, 0), min(box[3] + 2, w)]
-            crop = inst_map[box[0]:box[1], box[2]:box[3]]
+        # one-pass bboxes: the per-id full-image compare + bbox scan was the
+        # measured cost of this op (O(n_ids * H * W)); instance_boxes slices
+        # equal get_bounding_box on the per-id mask exactly
+        for inst_id, sl in instance_boxes(inst_gt):
+            box = [max(sl[0].start - 2, 0), min(sl[0].stop + 2, h),
+                   max(sl[1].start - 2, 0), min(sl[1].stop + 2, w)]
+            crop = (inst_gt[box[0]:box[1], box[2]:box[3]] == inst_id).astype(np.uint8)
             if crop.shape[0] < 2 or crop.shape[1] < 2:
                 continue
             d = m.distance_transform_cdt(crop).astype(np.float32)
@@ -390,17 +409,26 @@ class HVLabelMake:
 
     def __call__(self, data):
         inst_gt = data['inst_gt']
+        try:  # native twin: com + signed normalized offsets in one call
+            # (tests/test_native_labelmaps.py pins exactness)
+            from ... import native
+            out = native.hv_map(inst_gt, _boxes_array(inst_gt))
+            if out is not None:
+                data['hv_gt'] = out
+                data['seg_fields'].append('hv_gt')
+                return data
+        except Exception:
+            pass
         x_map = np.zeros(inst_gt.shape[:2], dtype=np.float32)
         y_map = np.zeros(inst_gt.shape[:2], dtype=np.float32)
         h, w = inst_gt.shape[:2]
 
-        for inst_id in np.unique(inst_gt):
-            if inst_id == 0:
-                continue
-            inst_map = (inst_gt == inst_id).astype(np.uint8)
-            box = get_bounding_box(inst_map)
-            box = [max(box[0] - 2, 0), min(box[1] + 2, h), max(box[2] - 2, 0), min(box[3] + 2, w)]
-            crop = inst_map[box[0]:box[1], box[2]:box[3]]
+        # one-pass bboxes (see DistanceLabelMake) — exact replacement for the
+        # per-id full-image get_bounding_box scan
+        for inst_id, sl in instance_boxes(inst_gt):
+            box = [max(sl[0].start - 2, 0), min(sl[0].stop + 2, h),
+                   max(sl[1].start - 2, 0), min(sl[1].stop + 2, w)]
+            crop = (inst_gt[box[0]:box[1], box[2]:box[3]] == inst_id).astype(np.uint8)
             if crop.shape[0] < 2 or crop.shape[1] < 2:
                 continue
             com = list(m.center_of_mass(crop))

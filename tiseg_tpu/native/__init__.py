@@ -111,6 +111,9 @@ def _load_lm():
                                    ctypes.c_int, ctypes.c_int, c_f32p, c_f32p, c_i32p]
     lib.ddm_weight.argtypes = [c_i32p, c_f32p, ctypes.c_int, ctypes.c_int,
                                ctypes.c_int, c_i32p, c_f32p]
+    lib.hv_map.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p, c_f32p]
+    lib.dist_cdt_map.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p,
+                                 ctypes.c_int, c_f32p]
     _lib_lm = lib
     return lib
 
@@ -207,6 +210,39 @@ def ddm_weight(dir_map: np.ndarray, dist_map: np.ndarray, vecs: np.ndarray):
                    dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
                    len(vecs), vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def hv_map(inst: np.ndarray, boxes: np.ndarray):
+    """HoverNet HV coordinate maps in one call; ``boxes`` is (nb, 5) int32
+    rows (id, y0, y1, x0, x1), stop-exclusive, already padded+clamped.
+    Returns (H, W, 2) f32 (x, y) or None without a compiler."""
+    lib = _load_lm()
+    if lib is None:
+        return None
+    inst = _i32(inst)
+    h, w = inst.shape
+    boxes = _i32(boxes).reshape(-1, 5)
+    out = np.zeros((h, w, 2), np.float32)
+    lib.hv_map(inst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, len(boxes),
+               boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+               out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def dist_cdt_map(inst: np.ndarray, boxes: np.ndarray, inst_norm: bool = True):
+    """DIST chessboard distance map in one call (same ``boxes`` contract as
+    :func:`hv_map`); (H, W) f32 or None without a compiler."""
+    lib = _load_lm()
+    if lib is None:
+        return None
+    inst = _i32(inst)
+    h, w = inst.shape
+    boxes = _i32(boxes).reshape(-1, 5)
+    out = np.zeros((h, w), np.float32)
+    lib.dist_cdt_map(inst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, len(boxes),
+                     boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), int(inst_norm),
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
 
 

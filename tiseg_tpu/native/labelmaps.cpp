@@ -446,6 +446,128 @@ void ddm_weight(const int32_t* dir_map, const float* dist_map, int H, int W,
 }
 
 // --------------------------------------------------------------------------
+// HoverNet HV label map (twin of ops/label_maps.py HVLabelMake, reference
+// hv_map.py:18-114): per instance on its (already padded+clamped) bbox,
+// integer center of mass rounded via int(com + 0.5), signed 1-based
+// coordinate offsets zeroed outside the instance, each sign normalized by
+// its extreme (f32 division of the f32-cast integer offsets — identical
+// arithmetic to the numpy path), written interleaved as (x, y) pairs.
+// ``boxes`` is nb x 5 int32 rows: id, y0, y1, x0, x1 (stop-exclusive).
+void hv_map(const int32_t* inst, int H, int W, int nb, const int32_t* boxes,
+            float* xy_out) {
+  std::memset(xy_out, 0, sizeof(float) * 2 * (size_t)H * W);
+  for (int b = 0; b < nb; ++b) {
+    const int32_t id = boxes[5 * b];
+    const int y0 = boxes[5 * b + 1], y1 = boxes[5 * b + 2];
+    const int x0 = boxes[5 * b + 3], x1 = boxes[5 * b + 4];
+    const int h = y1 - y0, w = x1 - x0;
+    if (h < 2 || w < 2) continue;
+    long sy = 0, sx = 0, mass = 0;
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x)
+        if (inst[(y + y0) * W + (x + x0)] == id) { sy += y; sx += x; ++mass; }
+    if (!mass) continue;
+    const int cy = (int)((double)sy / mass + 0.5);  // int(com + 0.5), com >= 0
+    const int cx = (int)((double)sx / mass + 0.5);
+    // extremes of the signed offsets over instance pixels; the offsets are
+    // 1-based coordinates minus the 0-based rounded com, exactly like the
+    // numpy path's arange(1, n+1) - int(com + 0.5)
+    int nx = 0, px = 0, ny = 0, py = 0;
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x)
+        if (inst[(y + y0) * W + (x + x0)] == id) {
+          const int vx = x + 1 - cx, vy = y + 1 - cy;
+          nx = std::min(nx, vx); px = std::max(px, vx);
+          ny = std::min(ny, vy); py = std::max(py, vy);
+        }
+    const float fnx = (float)(-nx), fpx = (float)px;
+    const float fny = (float)(-ny), fpy = (float)py;
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        const int gi = (y + y0) * W + (x + x0);
+        if (inst[gi] != id) continue;
+        const int vx = x + 1 - cx, vy = y + 1 - cy;
+        float ox = (float)vx, oy = (float)vy;
+        if (vx < 0) ox = ox / fnx; else if (vx > 0) ox = ox / fpx;
+        if (vy < 0) oy = oy / fny; else if (vy > 0) oy = oy / fpy;
+        xy_out[2 * gi] = ox;
+        xy_out[2 * gi + 1] = oy;
+      }
+  }
+}
+
+// --------------------------------------------------------------------------
+// DIST chessboard distance label map (twin of ops/label_maps.py
+// DistanceLabelMake, reference distance_map.py:23-107): per instance on
+// its padded bbox, exact L-inf (chessboard) chamfer distance to the
+// nearest non-instance pixel within the crop, optionally normalized by
+// the crop max (f32 division). Without any background pixel in the crop
+// scipy's cdt yields -1 everywhere: normalized -> instance skipped,
+// unnormalized -> -1 written (replicated).
+void dist_cdt_map(const int32_t* inst, int H, int W, int nb, const int32_t* boxes,
+                  int inst_norm, float* out) {
+  std::memset(out, 0, sizeof(float) * (size_t)H * W);
+  std::vector<int32_t> d;
+  for (int b = 0; b < nb; ++b) {
+    const int32_t id = boxes[5 * b];
+    const int y0 = boxes[5 * b + 1], y1 = boxes[5 * b + 2];
+    const int x0 = boxes[5 * b + 3], x1 = boxes[5 * b + 4];
+    const int h = y1 - y0, w = x1 - x0;
+    if (h < 2 || w < 2) continue;
+    const int32_t INF = h + w + 4;
+    d.assign((size_t)h * w, INF);
+    bool any_bg = false;
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x)
+        if (inst[(y + y0) * W + (x + x0)] != id) { d[(size_t)y * w + x] = 0; any_bg = true; }
+    if (!any_bg) {
+      if (!inst_norm)
+        for (int y = 0; y < h; ++y)
+          for (int x = 0; x < w; ++x) out[(y + y0) * W + (x + x0)] = -1.f;
+      continue;
+    }
+    // two-pass 8-neighbor chamfer: exact for the chessboard metric
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        int32_t& v = d[(size_t)y * w + x];
+        if (x > 0) v = std::min(v, d[(size_t)y * w + x - 1] + 1);
+        if (y > 0) {
+          v = std::min(v, d[(size_t)(y - 1) * w + x] + 1);
+          if (x > 0) v = std::min(v, d[(size_t)(y - 1) * w + x - 1] + 1);
+          if (x + 1 < w) v = std::min(v, d[(size_t)(y - 1) * w + x + 1] + 1);
+        }
+      }
+    int32_t mx = 0;
+    for (int y = h - 1; y >= 0; --y)
+      for (int x = w - 1; x >= 0; --x) {
+        int32_t& v = d[(size_t)y * w + x];
+        if (x + 1 < w) v = std::min(v, d[(size_t)y * w + x + 1] + 1);
+        if (y + 1 < h) {
+          v = std::min(v, d[(size_t)(y + 1) * w + x] + 1);
+          if (x > 0) v = std::min(v, d[(size_t)(y + 1) * w + x - 1] + 1);
+          if (x + 1 < w) v = std::min(v, d[(size_t)(y + 1) * w + x + 1] + 1);
+        }
+        mx = std::max(mx, v);
+      }
+    if (inst_norm) {
+      if (mx <= 0) continue;
+      const float fmx = (float)mx;
+      for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x) {
+          const int gi = (y + y0) * W + (x + x0);
+          if (inst[gi] == id) out[gi] = (float)d[(size_t)y * w + x] / fmx;
+        }
+    } else {
+      for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x) {
+          const int gi = (y + y0) * W + (x + x0);
+          if (inst[gi] == id) out[gi] = (float)d[(size_t)y * w + x];
+        }
+    }
+  }
+}
+
+// --------------------------------------------------------------------------
 // Boundary class via L1 (diamond) morphology: bound = dilation(mask, r0)
 // AND NOT erosion(mask, r1), per instance id, written as edge pixels.
 void bound_map(const int32_t* inst, int H, int W, int r0, int r1, uint8_t* bound) {

@@ -245,8 +245,11 @@ def pre_eval_to_imw_aji(pre_eval_results, nan_to_num=None):
 def pre_eval_to_aji(pre_eval_results, nan_to_num=None):
     cols = tuple(zip(*pre_eval_results))
     assert len(cols) == 2
-    overall_inter = sum(cols[0])
-    overall_union = sum(cols[1])
+    # np.float64: 0/0 (every image empty-pred AND empty-gt-paired) is nan —
+    # sanitized by nan_to_num — not a ZeroDivisionError (numpy semantics,
+    # like the reference's array division)
+    overall_inter = np.float64(sum(cols[0]))
+    overall_union = np.float64(sum(cols[1]))
     return _nan_wrap({'Aji': overall_inter / overall_union}, nan_to_num)
 
 
@@ -297,14 +300,14 @@ def pre_eval_to_pq(pre_eval_results, nan_to_num=None, analysis_mode=False):
 def pre_eval_to_inst_dice(pre_eval_results, nan_to_num=None):
     cols = tuple(zip(*pre_eval_results))
     assert len(cols) == 4
-    tp = sum(cols[0])
-    fp = sum(cols[1])
-    fn = sum(cols[2])
+    tp = np.float64(sum(cols[0]))  # nan (not ZeroDivisionError) when all-empty
+    fp = np.float64(sum(cols[1]))
+    fn = np.float64(sum(cols[2]))
     return _nan_wrap({'InstDice': 2 * tp / (2 * tp + fp + fn)}, nan_to_num)
 
 
 def pre_eval_to_imw_inst_dice(pre_eval_results, nan_to_num=None):
     cols = tuple(zip(*pre_eval_results))
     assert len(cols) == 4
-    vals = [2 * tp / (2 * tp + fp + fn) for tp, fp, fn in zip(cols[0], cols[1], cols[2])]
+    vals = [2 * np.float64(tp) / (2 * tp + fp + fn) for tp, fp, fn in zip(cols[0], cols[1], cols[2])]
     return _nan_wrap({'InstDice': np.array(vals)}, nan_to_num)
