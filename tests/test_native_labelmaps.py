@@ -90,6 +90,18 @@ def test_dlm_point_maps_native(seed, to_center, monkeypatch):
     np.testing.assert_array_equal(p_got, p_want)
 
 
+def test_dlm_point_maps_centralridge_no_background_crop(monkeypatch):
+    """to_center=False with an instance filling its whole crop: scipy's EDT
+    leaves the out-of-bounds sentinel (-1, 0), i.e. d = hypot(y+1, x) —
+    the native kernel replicates it bit-for-bit."""
+    inst = np.ones((16, 16), np.int32)
+    p_got, g_got, d_got = DirectionLabelMake.calculate_point_map(inst, to_center=False)
+    monkeypatch.setattr(native, 'dlm_point_maps', lambda *a, **k: None)
+    p_want, g_want, d_want = DirectionLabelMake.calculate_point_map(inst, to_center=False)
+    np.testing.assert_array_equal(d_got, d_want)
+    np.testing.assert_allclose(g_got, g_want, rtol=1e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize('seed', [0, 4])
 def test_ddm_weight_native(seed, monkeypatch):
     """Native DDM weight map vs the python table path on identical

@@ -15,7 +15,6 @@ from scipy import ndimage
 from scipy.ndimage import gaussian_filter
 
 from ...utils import morphology as m
-from ...utils.misc import get_bounding_box
 from ..utils import direction
 from ..utils.center import fast_centerpoint as calculate_centerpoint
 from ..utils.direction import angle_to_vector, generate_direction_differential_map, vector_to_label
@@ -194,6 +193,14 @@ class DirectionLabelMake:
     center), dir_gt (quantized angle classes of the distance gradient),
     reg_dir_gt (radians), loss_weight_map (DDM-of-GT based).
     (reference direction_map.py:11-193)
+
+    Cross-backend note: the ksize-11 gradient is computed by cv2, ndimage,
+    or the native C++ kernel depending on the host; their f32 summation
+    orders differ, so pixels whose gradient angle sits within float noise
+    of a sector boundary (or whose gradient magnitude is ~0, e.g. instance
+    centers) can quantize to a different dir_gt class per backend. This is
+    inherent to the reference formulation (its torch conv has the same
+    property vs any CPU path); training is insensitive to it.
     """
 
     def __init__(self, to_center=True, num_angles=8):
@@ -366,10 +373,14 @@ class DistanceLabelMake:
         data['sem_gt'] = sem_gt
         data['inst_gt'] = inst_gt
 
+        # one-pass bboxes: the per-id full-image compare + bbox scan was the
+        # measured cost of this op (O(n_ids * H * W)); instance_boxes slices
+        # equal get_bounding_box on the per-id mask exactly
+        boxes = _boxes_array(inst_gt)
         try:  # native twin: per-instance chessboard chamfer in one call
             # (tests/test_native_labelmaps.py pins exactness)
             from ... import native
-            out = native.dist_cdt_map(inst_gt, _boxes_array(inst_gt), self.inst_norm)
+            out = native.dist_cdt_map(inst_gt, boxes, self.inst_norm)
             if out is not None:
                 data['dist_gt'] = out
                 data['seg_fields'].append('dist_gt')
@@ -377,13 +388,7 @@ class DistanceLabelMake:
         except Exception:
             pass
         dist_gt = np.zeros(inst_gt.shape, dtype=np.float32)
-        h, w = inst_gt.shape[:2]
-        # one-pass bboxes: the per-id full-image compare + bbox scan was the
-        # measured cost of this op (O(n_ids * H * W)); instance_boxes slices
-        # equal get_bounding_box on the per-id mask exactly
-        for inst_id, sl in instance_boxes(inst_gt):
-            box = [max(sl[0].start - 2, 0), min(sl[0].stop + 2, h),
-                   max(sl[1].start - 2, 0), min(sl[1].stop + 2, w)]
+        for inst_id, *box in boxes.tolist():
             crop = (inst_gt[box[0]:box[1], box[2]:box[3]] == inst_id).astype(np.uint8)
             if crop.shape[0] < 2 or crop.shape[1] < 2:
                 continue
@@ -409,10 +414,13 @@ class HVLabelMake:
 
     def __call__(self, data):
         inst_gt = data['inst_gt']
+        # one-pass bboxes (see DistanceLabelMake) — exact replacement for the
+        # per-id full-image get_bounding_box scan
+        boxes = _boxes_array(inst_gt)
         try:  # native twin: com + signed normalized offsets in one call
             # (tests/test_native_labelmaps.py pins exactness)
             from ... import native
-            out = native.hv_map(inst_gt, _boxes_array(inst_gt))
+            out = native.hv_map(inst_gt, boxes)
             if out is not None:
                 data['hv_gt'] = out
                 data['seg_fields'].append('hv_gt')
@@ -421,13 +429,8 @@ class HVLabelMake:
             pass
         x_map = np.zeros(inst_gt.shape[:2], dtype=np.float32)
         y_map = np.zeros(inst_gt.shape[:2], dtype=np.float32)
-        h, w = inst_gt.shape[:2]
 
-        # one-pass bboxes (see DistanceLabelMake) — exact replacement for the
-        # per-id full-image get_bounding_box scan
-        for inst_id, sl in instance_boxes(inst_gt):
-            box = [max(sl[0].start - 2, 0), min(sl[0].stop + 2, h),
-                   max(sl[1].start - 2, 0), min(sl[1].stop + 2, w)]
+        for inst_id, *box in boxes.tolist():
             crop = (inst_gt[box[0]:box[1], box[2]:box[3]] == inst_id).astype(np.uint8)
             if crop.shape[0] < 2 or crop.shape[1] < 2:
                 continue

@@ -54,6 +54,22 @@ void edt1d(const double* f, int n, double* d, int* v, double* z) {
   }
 }
 
+// per-id tight bboxes (ids outside [1, n_ids] ignored)
+void id_bboxes(const int32_t* inst, int H, int W, int32_t n_ids,
+               std::vector<int>& y0, std::vector<int>& y1,
+               std::vector<int>& x0, std::vector<int>& x1) {
+  y0.assign(n_ids + 1, H); y1.assign(n_ids + 1, -1);
+  x0.assign(n_ids + 1, W); x1.assign(n_ids + 1, -1);
+  for (int y = 0; y < H; ++y)
+    for (int x = 0; x < W; ++x) {
+      int32_t v = inst[y * W + x];
+      if (v > 0 && v <= n_ids) {
+        y0[v] = std::min(y0[v], y); y1[v] = std::max(y1[v], y);
+        x0[v] = std::min(x0[v], x); x1[v] = std::max(x1[v], x);
+      }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -128,16 +144,8 @@ void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
   const int n = H * W;
   if (n_ids <= 1) { std::memset(out, 0, sizeof(float) * n); return; }
   std::vector<double> near1(n, BIG), near2(n, BIG);
-  // bboxes
-  std::vector<int> y0(n_ids + 1, H), y1(n_ids + 1, -1), x0(n_ids + 1, W), x1(n_ids + 1, -1);
-  for (int y = 0; y < H; ++y)
-    for (int x = 0; x < W; ++x) {
-      int32_t v = ann[y * W + x];
-      if (v > 0 && v <= n_ids) {
-        y0[v] = std::min(y0[v], y); y1[v] = std::max(y1[v], y);
-        x0[v] = std::min(x0[v], x); x1[v] = std::max(x1[v], x);
-      }
-    }
+  std::vector<int> y0, y1, x0, x1;
+  id_bboxes(ann, H, W, n_ids, y0, y1, x0, x1);
   std::vector<double> dcol, drow, zbuf;
   std::vector<int> vbuf, dv;
   for (int32_t id = 1; id <= n_ids; ++id) {
@@ -213,6 +221,8 @@ void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
 // hit the instance — bit-identical results, ~3x fewer probes.
 namespace {
 
+// (id_bboxes lives in the top anonymous namespace, shared by
+// unet_weight_map / bound_map / the centerpoint kernels)
 void centerpoints_impl(const int32_t* inst, int H, int W, int32_t n_ids,
                        const int* y0, const int* y1, const int* x0, const int* x1,
                        int32_t* out_yx) {
@@ -257,21 +267,6 @@ void centerpoints_impl(const int32_t* inst, int H, int W, int32_t n_ids,
       }
       const double c = mind / maxd;
       if (c > best[id]) { best[id] = c; out_yx[2 * id] = i; out_yx[2 * id + 1] = j; }
-    }
-}
-
-void id_bboxes(const int32_t* inst, int H, int W, int32_t n_ids,
-               std::vector<int>& y0, std::vector<int>& y1,
-               std::vector<int>& x0, std::vector<int>& x1) {
-  y0.assign(n_ids + 1, H); y1.assign(n_ids + 1, -1);
-  x0.assign(n_ids + 1, W); x1.assign(n_ids + 1, -1);
-  for (int y = 0; y < H; ++y)
-    for (int x = 0; x < W; ++x) {
-      int32_t v = inst[y * W + x];
-      if (v > 0 && v <= n_ids) {
-        y0[v] = std::min(y0[v], y); y1[v] = std::max(y1[v], y);
-        x0[v] = std::min(x0[v], x); x1[v] = std::max(x1[v], x);
-      }
     }
 }
 
@@ -349,29 +344,48 @@ void dlm_point_maps(const int32_t* inst, int H, int W, int32_t n_ids, int ksize,
     } else {
       // exact EDT of the crop mask (distance to nearest non-instance px)
       f.assign((size_t)h * w, 0.0);
+      bool any_bg = false;
       for (int y = 0; y < h; ++y)
-        for (int x = 0; x < w; ++x)
-          f[(size_t)y * w + x] = (inst[(y + ys) * W + (x + xs)] == id) ? 1e18 : 0.0;
-      const int m2 = std::max(h, w);
-      col.resize(h); dc.resize(h); row.resize(w); dr.resize(w);
-      vbuf.resize(m2); zbuf.resize(m2 + 1);
-      for (int x = 0; x < w; ++x) {
-        for (int y = 0; y < h; ++y) col[y] = f[(size_t)y * w + x];
-        edt1d(col.data(), h, dc.data(), vbuf.data(), zbuf.data());
-        for (int y = 0; y < h; ++y) d[(size_t)y * w + x] = dc[y];
-      }
-      double dmax = 0.0;
-      for (int y = 0; y < h; ++y) {
-        for (int x = 0; x < w; ++x) row[x] = d[(size_t)y * w + x];
-        edt1d(row.data(), w, dr.data(), vbuf.data(), zbuf.data());
         for (int x = 0; x < w; ++x) {
-          const size_t i = (size_t)y * w + x;
-          d[i] = (inst[(y + ys) * W + (x + xs)] == id) ? std::sqrt(dr[x]) : 0.0;
-          if (d[i] > dmax) dmax = d[i];
+          const bool in = inst[(y + ys) * W + (x + xs)] == id;
+          f[(size_t)y * w + x] = in ? 1e18 : 0.0;
+          any_bg |= !in;
         }
+      if (!any_bg) {
+        // scipy's feature transform leaves the out-of-bounds sentinel
+        // (-1, 0) when the crop has no background px, so its "distance"
+        // is hypot(y+1, x) — replicated bit-for-bit (exact integer sqrt)
+        double dmax = 0.0;
+        for (int y = 0; y < h; ++y)
+          for (int x = 0; x < w; ++x) {
+            const double r = std::sqrt((double)((y + 1) * (y + 1) + x * x));
+            d[(size_t)y * w + x] = r;
+            if (r > dmax) dmax = r;
+          }
+        const double den = dmax + 1e-7;
+        for (size_t i = 0; i < d.size(); ++i) d[i] /= den;
+      } else {
+        const int m2 = std::max(h, w);
+        col.resize(h); dc.resize(h); row.resize(w); dr.resize(w);
+        vbuf.resize(m2); zbuf.resize(m2 + 1);
+        for (int x = 0; x < w; ++x) {
+          for (int y = 0; y < h; ++y) col[y] = f[(size_t)y * w + x];
+          edt1d(col.data(), h, dc.data(), vbuf.data(), zbuf.data());
+          for (int y = 0; y < h; ++y) d[(size_t)y * w + x] = dc[y];
+        }
+        double dmax = 0.0;
+        for (int y = 0; y < h; ++y) {
+          for (int x = 0; x < w; ++x) row[x] = d[(size_t)y * w + x];
+          edt1d(row.data(), w, dr.data(), vbuf.data(), zbuf.data());
+          for (int x = 0; x < w; ++x) {
+            const size_t i = (size_t)y * w + x;
+            d[i] = (inst[(y + ys) * W + (x + xs)] == id) ? std::sqrt(dr[x]) : 0.0;
+            if (d[i] > dmax) dmax = d[i];
+          }
+        }
+        const double den = dmax + 1e-7;  // true division, like the python path
+        for (size_t i = 0; i < d.size(); ++i) d[i] /= den;
       }
-      const double den = dmax + 1e-7;  // true division, like the python path
-      for (size_t i = 0; i < d.size(); ++i) d[i] /= den;
     }
     // dist write (python: float32 view += float64 crop)
     for (int y = 0; y < h; ++y)
@@ -388,11 +402,13 @@ void dlm_point_maps(const int32_t* inst, int H, int W, int32_t n_ids, int ksize,
         const int jlo = std::max(0, c - y), jhi = std::min(ksize, h + c - y);
         const int ilo = std::max(0, c - x), ihi = std::min(ksize, w + c - x);
         for (int j = jlo; j < jhi; ++j) {
-          const float* drow = &df[(size_t)(y + j - c) * w + (x - c)];
+          // base of the kernel row inside df, offset applied per-tap so no
+          // out-of-bounds pointer is ever formed (x - c can be negative)
+          const float* drow = &df[(size_t)(y + j - c) * w];
           const float* kyr = &ky[(size_t)j * ksize];
           const float* kxr = &kx[(size_t)j * ksize];
           for (int i = ilo; i < ihi; ++i) {
-            const double v = (double)drow[i];
+            const double v = (double)drow[x - c + i];
             gy += (double)kyr[i] * v;
             gx += (double)kxr[i] * v;
           }
@@ -587,20 +603,12 @@ void dist_cdt_map(const int32_t* inst, int H, int W, int nb, const int32_t* boxe
 // AND NOT erosion(mask, r1), per instance id, written as edge pixels.
 void bound_map(const int32_t* inst, int H, int W, int r0, int r1, uint8_t* bound) {
   std::memset(bound, 0, (size_t)H * W);
-  // per-id bboxes
   int32_t maxid = 0;
   const int n = H * W;
   for (int i = 0; i < n; ++i) maxid = std::max(maxid, inst[i]);
   if (maxid <= 0) return;
-  std::vector<int> y0(maxid + 1, H), y1(maxid + 1, -1), x0(maxid + 1, W), x1(maxid + 1, -1);
-  for (int y = 0; y < H; ++y)
-    for (int x = 0; x < W; ++x) {
-      int32_t v = inst[y * W + x];
-      if (v > 0) {
-        y0[v] = std::min(y0[v], y); y1[v] = std::max(y1[v], y);
-        x0[v] = std::min(x0[v], x); x1[v] = std::max(x1[v], x);
-      }
-    }
+  std::vector<int> y0, y1, x0, x1;
+  id_bboxes(inst, H, W, maxid, y0, y1, x0, x1);
   int pad = std::max(r0, r1) + 1;
   std::vector<int32_t> din, dout;
   for (int32_t id = 1; id <= maxid; ++id) {
