@@ -164,3 +164,28 @@ def test_pre_eval_device_cap_falls_back_to_host(mini_ds):
     ed2, _ = ds.evaluate(dev2)
     for k in eh:
         assert eh[k] == pytest.approx(ed2[k], abs=0.02), (k, eh[k], ed2[k])
+
+
+def test_show_panels_written(tmp_path):
+    """pre_eval(show=True) writes the comparison panel, and the direction
+    debug panel when the pred carries dir_pred (reference
+    Drawer.draw/draw_direction)."""
+    root = str(tmp_path / 'ds')
+    make_mini_dataset(root, n=1, hw=64)
+    ds = build_dataset(dict(type='MoNuSegDataset', data_root=root, img_dir='images',
+                            ann_dir='annotations', split='train.txt',
+                            processes=[dict(type='Normalize'),
+                                       dict(type='Formatting', data_keys=['img'], label_keys=[])]),
+                       default_args=dict(test_mode=True))
+    rng = np.random.default_rng(0)
+    inst = np.zeros((64, 64), np.int32)
+    inst[10:20, 10:20] = 1
+    inst[30:42, 30:44] = 2
+    pred = {'sem_pred': (inst > 0).astype(np.uint8), 'inst_pred': inst,
+            'dir_pred': rng.integers(0, 9, (64, 64)).astype(np.int32)}
+    show_dir = str(tmp_path / 'show')
+    ds.pre_eval([pred], [0], show=True, show_folder=show_dir)
+    import os
+    files = os.listdir(show_dir)
+    assert any(f.endswith('_panel.png') for f in files)
+    assert any(f.endswith('_direction.png') for f in files)

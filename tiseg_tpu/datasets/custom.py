@@ -168,6 +168,11 @@ class CustomDataset:
         draw_all(show_folder, info['data_id'].replace('/', '_'), info['file_name'], pred['sem_pred'], sem_gt,
                  re_instance(pred['inst_pred']), re_instance(inst_gt),
                  pred.get('tc_sem_pred', pred['sem_pred']), None)
+        if 'dir_pred' in pred:  # direction-model debug panel (reference
+            # Drawer.draw_direction, tiseg/datasets/utils/draw.py:116-220)
+            from .utils.draw import draw_direction
+            draw_direction(show_folder, info['data_id'].replace('/', '_'), info['file_name'],
+                           pred, sem_gt, inst_gt)
 
     def evaluate(self, results, logger=None, **kwargs):
         """Merge per-image pre-eval packages into the m*/imw*/b* tables

@@ -22,6 +22,24 @@ from ..utils.gradient import calculate_gradient
 from ..utils.instance import fix_instance
 
 
+_CANONICAL = __import__('weakref').WeakValueDictionary()
+
+
+def _fix_instance_cached(inst_gt: np.ndarray) -> np.ndarray:
+    """fix_instance, skipped when ``inst_gt`` IS an array this process
+    already canonicalized (fix_instance is idempotent: dense ascending ids,
+    each 8-connected and >= min_size). Stacked label ops in one pipeline
+    (e.g. BoundLabelMake then DirectionLabelMake) hand the same fixed array
+    forward, so only the first pays. Object-identity keyed (id() validated
+    with ``is`` through a weak map), so any transform that rebuilds the
+    array — they all do — naturally misses the cache."""
+    if _CANONICAL.get(id(inst_gt)) is inst_gt:
+        return inst_gt
+    fixed = fix_instance(inst_gt)
+    _CANONICAL[id(fixed)] = fixed
+    return fixed
+
+
 def instance_boxes(inst_gt: np.ndarray):
     """One-pass (id, (yslice, xslice)) bboxes for all instances: the key
     host-side optimization — every per-instance op below runs on a padded
@@ -67,7 +85,7 @@ class BoundLabelMake:
 
     def __call__(self, data):
         sem_gt = data['sem_gt']
-        inst_gt = fix_instance(data['inst_gt'])
+        inst_gt = _fix_instance_cached(data['inst_gt'])
         sem_gt = sem_gt.copy()
         sem_gt[inst_gt == 0] = 0
         data['sem_gt'] = sem_gt
@@ -161,7 +179,7 @@ class UNetLabelMake:
         return pen
 
     def __call__(self, data):
-        inst_gt = fix_instance(data['inst_gt'])
+        inst_gt = _fix_instance_cached(data['inst_gt'])
         sem_gt = data['sem_gt'].copy()
         sem_gt[inst_gt == 0] = 0
         data['sem_gt'] = sem_gt
@@ -209,7 +227,7 @@ class DirectionLabelMake:
 
     def __call__(self, data):
         sem_gt = data['sem_gt'].copy()
-        inst_gt = fix_instance(data['inst_gt'])
+        inst_gt = _fix_instance_cached(data['inst_gt'])
         sem_gt[inst_gt == 0] = 0
         data['sem_gt'] = sem_gt
         data['inst_gt'] = inst_gt
@@ -368,7 +386,7 @@ class DistanceLabelMake:
 
     def __call__(self, data):
         sem_gt = data['sem_gt'].copy()
-        inst_gt = fix_instance(data['inst_gt'])
+        inst_gt = _fix_instance_cached(data['inst_gt'])
         sem_gt[inst_gt == 0] = 0
         data['sem_gt'] = sem_gt
         data['inst_gt'] = inst_gt

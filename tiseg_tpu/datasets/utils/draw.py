@@ -59,3 +59,50 @@ def draw_all(save_folder, img_name, img_file_name, sem_pred, sem_gt, inst_pred, 
     fig.tight_layout()
     fig.savefig(osp.join(save_folder, f'{img_name}_panel.png'), dpi=100)
     plt.close(fig)
+
+
+def draw_direction(save_folder, img_name, img_file_name, pred, sem_gt, inst_gt, num_angles=8):
+    """Direction-model debug panel (reference Drawer.draw_direction,
+    tiseg/datasets/utils/draw.py:116-220): image, FN/FP/TP error map,
+    predicted vs GT direction classes, and their direction differential
+    maps. GT direction/DDM are regenerated from ``inst_gt`` with the same
+    DirectionLabelMake used at train time."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from ..mapper import read_image
+    from ..ops.label_maps import DirectionLabelMake
+    from .direction import generate_direction_differential_map
+
+    img = read_image(img_file_name)
+    sem_pred = np.asarray(pred['sem_pred'])
+    dir_pred = np.asarray(pred['dir_pred'])
+    gt_data = DirectionLabelMake(num_angles=num_angles)(
+        {'inst_gt': np.asarray(inst_gt), 'sem_gt': np.asarray(sem_gt), 'seg_fields': []})
+    dir_gt = gt_data['dir_gt']
+    ddm_pred = generate_direction_differential_map(dir_pred, num_angles + 1)[0]
+    ddm_gt = generate_direction_differential_map(dir_gt, num_angles + 1)[0]
+
+    err = np.zeros((*sem_pred.shape, 3), dtype=np.uint8)
+    p = sem_pred > 0
+    g = np.asarray(sem_gt) > 0
+    err[g & ~p] = (255, 0, 0)
+    err[p & ~g] = (255, 255, 0)
+    err[p & g] = (0, 255, 0)
+
+    panels = [
+        (img, 'image', None),
+        (err, 'errors (R=FN Y=FP G=TP)', None),
+        (colorize_seg_map(dir_pred), 'direction pred', None),
+        (colorize_seg_map(dir_gt), 'direction gt', None),
+        (ddm_pred, 'DDM pred', 'gray'),
+        (ddm_gt, 'DDM gt', 'gray'),
+    ]
+    fig, axes = plt.subplots(2, 3, figsize=(15, 10))
+    for ax, (im, title, cmap) in zip(axes.ravel(), panels):
+        ax.imshow(im, cmap=cmap)
+        ax.set_title(title)
+        ax.axis('off')
+    fig.tight_layout()
+    fig.savefig(osp.join(save_folder, f'{img_name}_direction.png'), dpi=100)
+    plt.close(fig)

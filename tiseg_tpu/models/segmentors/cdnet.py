@@ -141,6 +141,12 @@ class CDNet(BaseSegmentor):
         return sem_logit.at[..., -1].set(boundary)
 
     def postprocess(self, fused):
+        out = self._postprocess_sem_inst(fused)
+        if fused.get('dir_map') is not None:  # direction debug panel (datasets/utils/draw.py)
+            out['dir_pred'] = np.asarray(fused['dir_map']).astype(np.int32)
+        return out
+
+    def _postprocess_sem_inst(self, fused):
         pred = np.argmax(np.asarray(fused['sem']), axis=-1).astype(np.uint8)
         pred[pred == self.num_classes] = 0
         sem, inst = instance_postprocess(pred, radius=self.test_cfg.get('radius', 3))

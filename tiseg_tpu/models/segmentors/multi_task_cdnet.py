@@ -278,7 +278,10 @@ class MultiTaskCDNet(BaseSegmentor):
         bin_pred = tc_pred.copy()
         bin_pred[bin_pred == 2] = 0
         sem, inst = _mt_postprocess(bin_pred, sem_pred)
-        return {'sem_pred': sem, 'inst_pred': inst.astype(np.int32), 'tc_sem_pred': tc_pred.astype(np.uint8)}
+        out = {'sem_pred': sem, 'inst_pred': inst.astype(np.int32), 'tc_sem_pred': tc_pred.astype(np.uint8)}
+        if fused.get('dir_map') is not None:  # direction debug panel
+            out['dir_pred'] = np.asarray(fused['dir_map']).astype(np.int32)
+        return out
 
 
 @SEGMENTORS.register_module()
