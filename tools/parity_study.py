@@ -287,30 +287,34 @@ def run_jax(model, seed, steps, hw, n_train, train_items, val_items, order):
 
 
 def summarize(path):
+    """Mean±std table + per-seed paired diffs, grouped by (model, steps) so
+    runs at different schedule lengths are never pooled or mispaired."""
     rows = [json.loads(l) for l in open(path) if l.strip()]
     keys = ('Dice', 'Aji', 'DQ', 'SQ', 'PQ')
-    out = ['| model | n seeds | side | ' + ' | '.join(keys) + ' |',
-           '|---|---|---|' + '---|' * len(keys)]
-    for model in sorted({r['model'] for r in rows}):
+    groups = sorted({(r['model'], r['steps']) for r in rows})
+    out = ['| model | steps | n seeds | side | ' + ' | '.join(keys) + ' |',
+           '|---|---|---|---|' + '---|' * len(keys)]
+    for model, steps in groups:
         for side in ('torch', 'jax'):
-            sel = [r for r in rows if r['model'] == model and r['side'] == side]
+            sel = [r for r in rows if r['model'] == model and r['side'] == side and r['steps'] == steps]
             if not sel:
                 continue
             cells = []
             for k in keys:
                 vals = np.array([r['metrics'][k] for r in sel]) * 100
                 cells.append(f'{vals.mean():.2f}±{vals.std(ddof=1) if len(vals) > 1 else 0:.2f}')
-            out.append(f'| {model} | {len(sel)} | {side} | ' + ' | '.join(cells) + ' |')
-        both = [(r['seed'], r['metrics']['Aji']) for r in rows if r['model'] == model]
+            out.append(f'| {model} | {steps} | {len(sel)} | {side} | ' + ' | '.join(cells) + ' |')
     print('\n'.join(out))
-    # per-seed paired diffs (jax - torch)
-    for model in sorted({r['model'] for r in rows}):
-        t = {r['seed']: r['metrics'] for r in rows if r['model'] == model and r['side'] == 'torch'}
-        j = {r['seed']: r['metrics'] for r in rows if r['model'] == model and r['side'] == 'jax'}
+    # per-seed paired diffs (jax - torch), per schedule length
+    for model, steps in groups:
+        t = {r['seed']: r['metrics'] for r in rows
+             if r['model'] == model and r['side'] == 'torch' and r['steps'] == steps}
+        j = {r['seed']: r['metrics'] for r in rows
+             if r['model'] == model and r['side'] == 'jax' and r['steps'] == steps}
         common = sorted(set(t) & set(j))
         if common:
             d = np.array([[j[s][k] - t[s][k] for k in keys] for s in common]) * 100
-            print(f'{model}: paired diff (jax-torch, pts) over seeds {common}:')
+            print(f'{model} @{steps} steps: paired diff (jax-torch, pts) over seeds {common}:')
             for i, k in enumerate(keys):
                 print(f'  {k}: mean {d[:, i].mean():+.2f} ± {d[:, i].std(ddof=1) if len(common) > 1 else 0:.2f}')
 
