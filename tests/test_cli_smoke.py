@@ -93,3 +93,13 @@ def test_bench_workload_surface():
     trained = bench.train_briefly(seg, variables, hw=64, steps=2, n_imgs=2)
     leaf = jax.tree_util.tree_leaves(trained['params'])[0]
     assert jnp.isfinite(leaf).all()
+
+
+def test_bench_input_pipeline_cli():
+    """tools/bench_input_pipeline.py runs the full train map stage for a
+    family and prints an items/s/core row (tiny shapes)."""
+    r = subprocess.run([sys.executable, osp.join(REPO, 'tools', 'bench_input_pipeline.py'),
+                        'unet', '--items', '2', '--hw', '64'],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'items/s/core' in r.stdout
