@@ -173,6 +173,15 @@ def main():
     ITERS = int(os.environ.get('BENCH_ITERS', 16))
     include_postproc = os.environ.get('BENCH_POSTPROC', '1') == '1'
 
+    # representative workload: dense nuclei through the briefly-trained net
+    # (also the int8 calibration batch — calibrate BEFORE stage 1 so the
+    # '_int8' metric suffix is truthful even with BENCH_POSTPROC=0)
+    uniq = np.stack([make_bench_nuclei(i)[0] for i in range(16)])
+    img_r = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
+    jax.block_until_ready(img_r)
+    if int8_e2e:
+        seg.calibrate_int8(variables, img_r)
+
     # ---- RPC latency of a trivial program ---------------------------------
     @jax.jit
     def trivial(x):
@@ -218,12 +227,6 @@ def main():
         # 2,281) was unrepresentative input making the post-processor
         # pathological, not a fusion loss (optimization barriers measured
         # neutral): docs/ROUND3.md "headline reconciliation".
-        uniq = np.stack([make_bench_nuclei(i)[0] for i in range(16)])
-        img_r = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
-        jax.block_until_ready(img_r)
-        if int8_e2e:
-            seg.calibrate_int8(variables, img_r)
-
         def _fused_chain(variables, im):
             def body(i, carry):
                 out = seg.inference_and_postprocess(variables, im + carry * 1e-12)

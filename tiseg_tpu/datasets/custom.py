@@ -137,8 +137,11 @@ class CustomDataset:
         results = []
         for pred, index in zip(preds, indices):
             sem_gt, inst_gt = self._load_gts(index)
-            n_pred = len(np.unique(np.asarray(pred['inst_pred']))) - 1
-            n_gt = len(np.unique(inst_gt)) - 1
+            # count positive instance ids only — `len(unique) - 1` would
+            # undercount by one when label 0 is absent (fully-foreground
+            # plane), letting cap+1 instances slip past the guard
+            n_pred = int((np.unique(np.asarray(pred['inst_pred'])) > 0).sum())
+            n_gt = int((np.unique(inst_gt) > 0).sum())
             if max(n_pred, n_gt) > max_instances:
                 get_logger().warning(
                     'image %s has %d instances > device cap %d; using host pre_eval',
@@ -172,7 +175,8 @@ class CustomDataset:
             # Drawer.draw_direction, tiseg/datasets/utils/draw.py:116-220)
             from .utils.draw import draw_direction
             draw_direction(show_folder, info['data_id'].replace('/', '_'), info['file_name'],
-                           pred, sem_gt, inst_gt)
+                           pred, sem_gt, inst_gt,
+                           num_angles=int(pred.get('dir_num_angles', 8)))
 
     def evaluate(self, results, logger=None, **kwargs):
         """Merge per-image pre-eval packages into the m*/imw*/b* tables

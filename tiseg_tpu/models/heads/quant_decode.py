@@ -5,8 +5,11 @@ v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 TOPS vs
 over the bf16 ceiling the round-3 account pinned (docs/ROUND3.md). This
 module is the opt-in experiment: symmetric per-output-channel weight
 quantization + per-site static activation scales (abs-max calibration),
-every conv of the fast UNet path (fast_decode.py) executed as an int8
-conv with dequant+bias+relu fused around it by XLA.
+every hot conv of the fast UNet path (fast_decode.py) executed as an
+int8 conv with dequant+bias+relu fused around it by XLA. The final
+``cls`` head conv stays bf16 (it is <0.5% of the FLOPs and its output
+feeds the argmax directly, where 8-bit logit rounding costs accuracy
+for no measurable speed).
 
 Pipeline: ``scales = calibrate(fp, imgs)`` (one bf16 forward that also
 returns each conv input's abs-max) -> ``fpq = quantize_params(fp,
@@ -33,7 +36,8 @@ from .fast_decode import (PhaseSkip, _conv, _mask_edges_flat, _max_pool_2x, _poo
 # conv "sites" (activation-scale keys) in execution order:
 #   vgg: W0 (raw image), W1, s{1..4}c{0..} (stage convs)
 #   head: dec{i}.t (tconv input), dec{i}.ct (block conv on tconv output),
-#         dec{i}.cs (skip conv input), cls
+#         dec{i}.cs (skip conv input). The cls head conv is NOT a site:
+#         it runs bf16 (see module docstring).
 
 
 def _qround(x, scale):

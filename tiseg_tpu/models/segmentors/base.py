@@ -161,9 +161,15 @@ class BaseSegmentor:
         HBM-resident XLA program (no size cap)."""
         from ...ops.pallas_sweep import instance_postprocess_sweep
         radius = self.test_cfg.get('radius', self.device_pp_default_radius)
+        # pp_multiclass_vectorized=False opts num_classes>2 configs back
+        # into the per-class loop (exact even on nested multi-class
+        # enclosures — pallas_sweep._multiclass_pp_plane caveat) at
+        # ~(num_classes-1)x the post-proc cost.
         return instance_postprocess_sweep(sem_pred, radius=radius, num_classes=self.num_classes,
                                           sweeps=self.test_cfg.get('pp_sweeps', 16),
-                                          fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 32))
+                                          fill_sweeps=self.test_cfg.get('pp_fill_sweeps', 32),
+                                          multiclass_vectorized=self.test_cfg.get(
+                                              'pp_multiclass_vectorized', True))
 
     # -- training metrics --------------------------------------------------------
     def training_metrics(self, sem_logit, sem_gt) -> Dict[str, jnp.ndarray]:

@@ -144,6 +144,7 @@ class CDNet(BaseSegmentor):
         out = self._postprocess_sem_inst(fused)
         if fused.get('dir_map') is not None:  # direction debug panel (datasets/utils/draw.py)
             out['dir_pred'] = np.asarray(fused['dir_map']).astype(np.int32)
+            out['dir_num_angles'] = self.num_angles
         return out
 
     def _postprocess_sem_inst(self, fused):

@@ -281,6 +281,7 @@ class MultiTaskCDNet(BaseSegmentor):
         out = {'sem_pred': sem, 'inst_pred': inst.astype(np.int32), 'tc_sem_pred': tc_pred.astype(np.uint8)}
         if fused.get('dir_map') is not None:  # direction debug panel
             out['dir_pred'] = np.asarray(fused['dir_map']).astype(np.int32)
+            out['dir_num_angles'] = self.num_angles
         return out
 
 

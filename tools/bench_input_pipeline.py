@@ -25,21 +25,14 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 FAMILIES = ['unet', 'cunet', 'cdnet', 'hovernet', 'dist', 'micronet', 'fullnet']
 
 
-def synth(hw=256, n=80, seed=0):
-    rng = np.random.default_rng(seed)
-    inst = np.zeros((hw, hw), np.int32)
-    k = 0
-    yy, xx = np.ogrid[:hw, :hw]
-    for _ in range(n):
-        cy, cx = rng.integers(8, hw - 8, 2)
-        r = rng.integers(3, 9)
-        m = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
-        if inst[m].any():
-            continue
-        k += 1
-        inst[m] = k
-    img = rng.integers(0, 255, (hw, hw, 3)).astype(np.uint8)
-    return {'img': img, 'inst_gt': inst, 'sem_gt': (inst > 0).astype(np.int32),
+def synth(hw=256, seed=0):
+    """One map-stage input item on the SAME workload the device benches use
+    (bench.make_bench_nuclei, MoNuSeg density ~150 nuclei / 256²) so
+    items/s/core here is directly comparable to patches/s/chip there."""
+    from bench import make_bench_nuclei
+    img, sem, inst = make_bench_nuclei(seed, hw=hw)
+    return {'img': (img * 255).astype(np.uint8), 'inst_gt': inst.astype(np.int32),
+            'sem_gt': sem.astype(np.int32),
             'seg_fields': ['sem_gt', 'inst_gt'], 'data_info': {'ori_hw': (hw, hw)}}
 
 

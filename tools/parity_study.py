@@ -237,6 +237,12 @@ def run_torch(model, seed, steps, hw, n_train, train_items, val_items, order):
 
 def run_jax(model, seed, steps, hw, n_train, train_items, val_items, order):
     import jax
+    # Parity runs compare FRAMEWORK semantics, so pin f32 matmuls/convs to
+    # true-f32 internal precision: TPU's default (fast bf16 passes) shifted
+    # the very first HoverNet loss 7.6721 vs torch/CPU-jax's identical
+    # 7.6658 — enough iterated drift to bifurcate a short schedule.
+    # Production eval/train stay on the default-precision bf16 path.
+    jax.config.update('jax_default_matmul_precision', 'highest')
     try:
         jax.config.update('jax_compilation_cache_dir', '/tmp/tiseg_jax_cache')
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
