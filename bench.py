@@ -30,6 +30,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PATCHES_PER_SEC = 5000.0
 
 
+def require_device(timeout_s=None):
+    """Fail FAST (exit 3) if the accelerator backend cannot initialize.
+
+    With the axon tunnel down, the first backend touch (`jax.devices()`)
+    blocks forever in a silent reconnect loop — a driver-side `timeout`
+    would then record a hang instead of a diagnosable failure. Probe the
+    backend in a daemon thread with a deadline; on timeout print a clear
+    error to stderr and exit WITHOUT emitting a metric line (never a
+    fabricated number)."""
+    import threading
+    timeout_s = timeout_s or float(os.environ.get('BENCH_DEVICE_TIMEOUT', 300))
+    state = {}
+    done = threading.Event()
+
+    def _probe():
+        try:
+            import jax
+            # the sitecustomize axon plugin ignores the JAX_PLATFORMS env;
+            # translate it like tiseg_tpu/__init__.py does so CPU test runs
+            # don't probe (and hang on) the tunnel
+            if os.environ.get('JAX_PLATFORMS'):
+                try:
+                    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+                except Exception:
+                    pass
+            state['platform'] = jax.devices()[0].platform
+        except Exception as e:  # init error is as terminal as a hang
+            state['err'] = e
+        done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not done.wait(timeout_s) or 'err' in state:
+        print('bench.py: device backend failed to initialize within %.0fs (%s) — '
+              'TPU tunnel down? No metric emitted.'
+              % (timeout_s, state.get('err', 'hang')), file=sys.stderr, flush=True)
+        os._exit(3)
+    return state['platform']
+
+
 def jit_tuned(fn, *example_args):
     """jit with the measured-best TPU compiler options (v5e flag hunt,
     docs/ROUND3.md: scoped VMEM 64MB gives +2.4% on the UNet forward —
@@ -543,6 +582,7 @@ def bench_int8(B: int = 0, iters: int = 16, hw: int = 256):
 
 
 if __name__ == '__main__':
+    require_device()
     models = os.environ.get('BENCH_MODELS', '')
     if os.environ.get('BENCH_INT8', ''):
         bench_int8()
