@@ -574,10 +574,28 @@ def bench_int8(B: int = 0, iters: int = 16, hw: int = 256):
     a_bf16 = np.asarray(jax.jit(lambda im: jnp.argmax(fwd_bf16(im), -1))(img))
     a_int8 = np.asarray(jax.jit(lambda im: jnp.argmax(fwd_int8(im), -1))(img))
     agree = float((a_bf16 == a_int8).mean())
+
+    # instance-level accuracy cost: post-process both paths' argmax planes
+    # (host oracle path) and score AJI/PQ against the synthetic GT — pixel
+    # agreement alone can hide instance merges/splits.
+    from tiseg_tpu.models.segmentors.unet import instance_postprocess
+    from tiseg_tpu.utils.metrics.inst_metrics import (pre_eval_bin_aji, pre_eval_bin_pq,
+                                                      pre_eval_to_bin_aji, pre_eval_to_bin_pq)
+    gts = [make_bench_nuclei(i, hw=hw)[2] for i in range(16)]
+    score = {}
+    for name, planes in (('bf16', a_bf16), ('int8', a_int8)):
+        ajis, pqs = [], []
+        for i, gt in enumerate(gts):
+            _, inst = instance_postprocess(planes[i].astype(np.uint8), radius=1)
+            ajis.append(pre_eval_bin_aji(inst, gt))
+            pqs.append(pre_eval_bin_pq(inst, gt))
+        score[name] = {'Aji': round(float(pre_eval_to_bin_aji(ajis)['Aji']) * 100, 3),
+                       'PQ': round(float(pre_eval_to_bin_pq(pqs)['PQ']) * 100, 3)}
     print(json.dumps({'metric': 'unet_int8_vs_bf16_net', 'bf16_pps': round(rate_bf16, 1),
                       'int8_pps': round(rate_int8, 1),
                       'speedup': round(rate_int8 / rate_bf16, 3),
-                      'argmax_agreement': round(agree, 6), 'B': B}))
+                      'argmax_agreement': round(agree, 6), 'B': B,
+                      'bf16_acc': score['bf16'], 'int8_acc': score['int8']}))
     return rate_int8, rate_bf16, agree
 
 

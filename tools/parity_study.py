@@ -192,6 +192,21 @@ def init_path(model, seed):
     return f'/tmp/parity_init_{model}_{seed}.pth'
 
 
+def save_torch_init(model, seed):
+    """(Re)generate the torch reference init checkpoint for (model, seed)
+    WITHOUT training. torch.manual_seed makes the init deterministic, so a
+    jax-side run can be launched against a documented torch result even
+    after /tmp was wiped (the jax side imports this exact init)."""
+    import torch
+    from reference_compat import load_reference_models
+    load_reference_models()
+    from tiseg.models import build_segmentor as ref_build
+    torch.manual_seed(seed)
+    ref = ref_build(dict(type=model, num_classes=2, train_cfg=dict(), test_cfg=dict(mode='whole')))
+    torch.save(ref.state_dict(), init_path(model, seed))
+    print(f'saved {init_path(model, seed)}')
+
+
 def run_torch(model, seed, steps, hw, n_train, train_items, val_items, order):
     import torch
     torch.set_num_threads(1)
@@ -334,11 +349,17 @@ def main():
     ap.add_argument('--n-train', type=int, default=48)
     ap.add_argument('--n-val', type=int, default=16)
     ap.add_argument('--side', choices=('torch', 'jax'))
-    ap.add_argument('--out', default='/tmp/parity_study.jsonl')
+    # default inside the repo so results survive /tmp wipes between sessions
+    ap.add_argument('--out', default=osp.join(ROOT, 'docs', 'parity_runs.jsonl'))
     ap.add_argument('--summarize', default=None)
+    ap.add_argument('--init-only', action='store_true',
+                    help='only (re)generate the torch init checkpoint for (model, seed)')
     args = ap.parse_args()
     if args.summarize:
         summarize(args.summarize)
+        return
+    if args.init_only:
+        save_torch_init(args.model, args.seed)
         return
 
     train_items = build_items(args.model, args.n_train, 1000, args.hw)
