@@ -16,8 +16,17 @@ block_until_ready timing unreliable):
   (26k transitions, -7%) and an untrained net on nuclei predicts almost
   no foreground (+5%): docs/ROUND3.md "headline reconciliation".
 
+The headline path auto-selects the int8 post-training-quantized network
+(heads/quant_decode.py; v5e int8 MXU peak is 2x bf16) when an inline
+instance-level accuracy gate passes: the SAME fused program is run in
+bf16 and int8 on held-out images (seeds disjoint from the calibration /
+throughput batch) and int8 must cost <= 0.5 Aji points (x100) vs bf16.
+Gate details go to stderr; the metric line carries an `_int8` suffix so
+the selected path is always visible. BENCH_INT8_E2E=0 forces bf16,
+=1 forces int8 (skips the gate).
+
 Target (BASELINE.md): >= 5,000 patches/sec/chip net+post-proc on v5e.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (last line): {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
@@ -178,6 +187,29 @@ def train_briefly(seg, variables, typ='UNet', hw=256, steps=60, n_imgs=16, lr=1e
     return {'params': params, 'batch_stats': batch_stats}
 
 
+def _int8_accuracy_gate(seg, variables, tol_pts=0.5, n=16, seed0=200):
+    """Instance-level accuracy of the shipped fused program, bf16 vs int8,
+    on HELD-OUT images (seeds disjoint from the calibration and throughput
+    batches — seed0=200 vs 0..15). Scores each path's device `inst_pred`
+    against the synthetic GT with the host AJI reducer. Returns (ok, detail):
+    ok means int8 costs <= tol_pts Aji (x100) vs bf16 on this workload."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tiseg_tpu.utils.metrics.inst_metrics import pre_eval_bin_aji, pre_eval_to_bin_aji
+    data = [make_bench_nuclei(seed0 + i) for i in range(n)]
+    img = jnp.asarray(np.stack([d[0] for d in data]))
+    detail = {}
+    for name, flag in (('bf16', False), ('int8', True)):
+        seg.test_cfg['int8_eval'] = flag
+        inst = np.asarray(jax.jit(
+            lambda v, im: seg.inference_and_postprocess(v, im)['inst_pred'])(variables, img))
+        ajis = [pre_eval_bin_aji(inst[i].astype(np.int32), data[i][2]) for i in range(n)]
+        detail[name + '_aji'] = round(float(pre_eval_to_bin_aji(ajis)['Aji']) * 100, 3)
+    ok = detail['int8_aji'] >= detail['bf16_aji'] - tol_pts
+    return ok, detail
+
+
 def main():
     import jax
     # persistent compilation cache: repeat bench runs skip the (slow,
@@ -196,9 +228,10 @@ def main():
     # all 16 trained-net planes vs the host oracle, and only -0.6% vs the
     # truncated sweeps=8 setting — the sweep loops exit at their fixpoint)
     test_cfg = dict(mode='whole', device_postprocess=True, radius=1)
-    int8_e2e = os.environ.get('BENCH_INT8_E2E', '') == '1'
-    if int8_e2e:
-        test_cfg['int8_eval'] = True
+    # '0' forces bf16, '1' forces int8 (no gate), unset/'auto' lets the
+    # held-out accuracy gate select the path (docstring above)
+    int8_mode = os.environ.get('BENCH_INT8_E2E', 'auto')
+    int8_e2e = int8_mode == '1'
     if os.environ.get('BENCH_PP_SWEEPS'):
         test_cfg['pp_sweeps'] = int(os.environ['BENCH_PP_SWEEPS'])
     seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=test_cfg),
@@ -218,8 +251,15 @@ def main():
     uniq = np.stack([make_bench_nuclei(i)[0] for i in range(16)])
     img_r = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
     jax.block_until_ready(img_r)
-    if int8_e2e:
+    if int8_mode != '0':
         seg.calibrate_int8(variables, img_r)
+        if int8_mode == '1':
+            seg.test_cfg['int8_eval'] = True
+        else:
+            int8_e2e, gate = _int8_accuracy_gate(seg, variables)
+            seg.test_cfg['int8_eval'] = int8_e2e
+            print(json.dumps({'int8_gate_pass': int8_e2e, **gate}),
+                  file=sys.stderr, flush=True)
 
     # ---- RPC latency of a trivial program ---------------------------------
     @jax.jit
