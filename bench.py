@@ -355,6 +355,12 @@ def bench_fused_model(typ: str, B: int = 0, iters: int = 8):
     variables = train_briefly(seg, variables, typ=typ, n_imgs=train_imgs)
     uniq = np.stack([make_bench_nuclei(i)[0] for i in range(16)])
     img = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
+    # zoo rows stay bf16 by default (comparable across rounds); an explicit
+    # BENCH_INT8_E2E=1 quantizes any model exposing calibrate_int8
+    int8 = os.environ.get('BENCH_INT8_E2E', '') == '1' and hasattr(seg, 'calibrate_int8')
+    if int8:
+        seg.calibrate_int8(variables, jnp.asarray(uniq))
+        seg.test_cfg['int8_eval'] = True
 
     @jax.jit
     def trivial(x):
@@ -384,7 +390,8 @@ def bench_fused_model(typ: str, B: int = 0, iters: int = 8):
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     rate = B * iters / max(best - rpc, 1e-9)
-    print(json.dumps({'metric': f'{typ.lower()}_256x256_fused_e2e_throughput',
+    suffix = '_int8' if int8 else ''
+    print(json.dumps({'metric': f'{typ.lower()}_256x256_fused_e2e_throughput{suffix}',
                       'value': round(rate, 1), 'unit': 'patches/sec/chip',
                       'vs_baseline': round(rate / BASELINE_PATCHES_PER_SEC, 3)}))
     return rate
