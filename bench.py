@@ -631,12 +631,16 @@ def bench_int8(B: int = 0, iters: int = 16, hw: int = 256):
 
     fwd_bf16 = lambda im: quant_decode.apply_fast_unet_bf16(prep['vgg'], prep['head'], im)
     fwd_int8 = lambda im: quant_decode.apply_fast_unet_q(prep['vgg'], prep['head'], fpq, im)
+    fwd_q8 = lambda im: quant_decode.apply_fast_unet_q8(prep['vgg'], prep['head'], fpq, im)
     rate_bf16 = measure(fwd_bf16)
     rate_int8 = measure(fwd_int8)
+    rate_q8 = measure(fwd_q8)
 
     a_bf16 = np.asarray(jax.jit(lambda im: jnp.argmax(fwd_bf16(im), -1))(img))
     a_int8 = np.asarray(jax.jit(lambda im: jnp.argmax(fwd_int8(im), -1))(img))
+    a_q8 = np.asarray(jax.jit(lambda im: jnp.argmax(fwd_q8(im), -1))(img))
     agree = float((a_bf16 == a_int8).mean())
+    agree_q8 = float((a_bf16 == a_q8).mean())
 
     # instance-level accuracy cost: post-process both paths' argmax planes
     # (host oracle path) and score AJI/PQ against the synthetic GT — pixel
@@ -646,7 +650,7 @@ def bench_int8(B: int = 0, iters: int = 16, hw: int = 256):
                                                       pre_eval_to_bin_aji, pre_eval_to_bin_pq)
     gts = [make_bench_nuclei(i, hw=hw)[2] for i in range(16)]
     score = {}
-    for name, planes in (('bf16', a_bf16), ('int8', a_int8)):
+    for name, planes in (('bf16', a_bf16), ('int8', a_int8), ('int8_resident', a_q8)):
         ajis, pqs = [], []
         for i, gt in enumerate(gts):
             _, inst = instance_postprocess(planes[i].astype(np.uint8), radius=1)
@@ -656,9 +660,13 @@ def bench_int8(B: int = 0, iters: int = 16, hw: int = 256):
                        'PQ': round(float(pre_eval_to_bin_pq(pqs)['PQ']) * 100, 3)}
     print(json.dumps({'metric': 'unet_int8_vs_bf16_net', 'bf16_pps': round(rate_bf16, 1),
                       'int8_pps': round(rate_int8, 1),
+                      'int8_resident_pps': round(rate_q8, 1),
                       'speedup': round(rate_int8 / rate_bf16, 3),
-                      'argmax_agreement': round(agree, 6), 'B': B,
-                      'bf16_acc': score['bf16'], 'int8_acc': score['int8']}))
+                      'speedup_resident': round(rate_q8 / rate_bf16, 3),
+                      'argmax_agreement': round(agree, 6),
+                      'argmax_agreement_resident': round(agree_q8, 6), 'B': B,
+                      'bf16_acc': score['bf16'], 'int8_acc': score['int8'],
+                      'int8_resident_acc': score['int8_resident']}))
     return rate_int8, rate_bf16, agree
 
 

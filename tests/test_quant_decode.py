@@ -78,6 +78,40 @@ def test_int8_close_to_float_and_argmax_agrees(unet_prep):
     assert agree > 0.98, f'argmax agreement {agree}'
 
 
+def test_int8_resident_matches_dequant_path(unet_prep):
+    """The int8-RESIDENT executor (activations materialized int8 between
+    convs) quantizes at the same sites/scales as apply_fast_unet_q; its
+    logits must track the dequant-per-site path to within the f32-vs-bf16
+    pre-quantization rounding (1 int8 LSB through the final bf16 stages),
+    with near-total argmax agreement."""
+    seg, prep, img = unet_prep
+    dtype = seg.net.dtype
+    scales = quant_decode.calibrate(prep['vgg'], prep['head'], img, dtype=dtype)
+    fpq = quant_decode.quantize_params(prep['vgg'], prep['head'], scales)
+    assert quant_decode.resident_ok(prep['head'])
+    q = np.asarray(jax.jit(lambda im: quant_decode.apply_fast_unet_q(
+        prep['vgg'], prep['head'], fpq, im, dtype=dtype))(img), np.float32)
+    q8 = np.asarray(jax.jit(lambda im: quant_decode.apply_fast_unet_q8(
+        prep['vgg'], prep['head'], fpq, im, dtype=dtype))(img), np.float32)
+    assert q8.shape == q.shape
+    rng_ = float(q.max() - q.min())
+    assert float(np.abs(q8 - q).max()) < 0.05 * rng_ + 1e-3
+    agree = float((q8.argmax(-1) == q.argmax(-1)).mean())
+    assert agree > 0.995, f'argmax agreement {agree}'
+
+
+def test_int8_resident_rejects_unsupported_layout(unet_prep):
+    """Non-prefix phase layouts fall back (ValueError) rather than
+    silently running a wrong site map."""
+    seg, prep, img = unet_prep
+    # phase stage set {0} with no plain stage above it -> rejected
+    solo = {'stages': {0: dict(prep['head']['stages'][0])},
+            'cls_kernel': prep['head']['cls_kernel'], 'cls_bias': prep['head']['cls_bias']}
+    assert not quant_decode.resident_ok(solo)
+    with pytest.raises(ValueError):
+        quant_decode.apply_fast_unet_q8(prep['vgg'], solo, {}, img)
+
+
 def test_int8_e2e_wiring():
     """test_cfg['int8_eval'] + calibrate_int8 routes the fused eval program
     through the quantized convs; uncalibrated it stays on bf16; predictions

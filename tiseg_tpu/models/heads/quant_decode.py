@@ -183,3 +183,147 @@ def apply_fast_unet_bf16(fp_vgg, fp_head, img, dtype=jnp.bfloat16):
     scales: Dict[str, jnp.ndarray] = {}
     outs = _run_vgg(fp_vgg, img, None, scales, dtype=dtype)
     return _run_head(fp_head, outs[-1], outs[:-1], None, scales, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# int8-RESIDENT executor: activations live in int8 BETWEEN convs
+# ---------------------------------------------------------------------------
+#
+# ``apply_fast_unet_q`` dequantizes every conv output to bf16 and the next
+# site re-quantizes — so even though the MACs ride the int8 MXU, the
+# activation chain still moves bf16 through HBM, and the measured program
+# is memory-bound (docs/ROUND3.md: 4,314 p/s vs the ~5,470 bf16-bytes mem
+# SOL). The resident executor instead folds dequant+bias+relu+REQUANT into
+# each conv's epilogue, so the tensor materialized between convs is int8 —
+# halving activation HBM traffic. Numerics: the quantization sites and
+# scales are IDENTICAL to apply_fast_unet_q (each value is quantized at the
+# same site scale); the only deltas are (a) quantizing from the f32
+# epilogue value instead of a bf16-materialized copy and (b) f32 adds in
+# the skip-sum — both strictly tighter. Tensors with two consumers at
+# different site scales (the VGG stage outputs, feeding both the next
+# stage and a decoder skip) are emitted as one int8 copy PER consumer from
+# the same epilogue fusion: write bytes equal one bf16 copy, read bytes
+# halve. Max-pooling commutes with symmetric quantization (monotonic), so
+# pools run directly on int8.
+
+
+def _conv_i8(xq, Wq, strides=(1, 1), padding='SAME'):
+    return jax.lax.conv_general_dilated(xq, Wq, strides, padding,
+                                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                                        preferred_element_type=jnp.int32)
+
+
+def _deq_f32(y_i32, site: str, fpq, bias=None):
+    """int32 conv accumulator -> f32 value at the site's (s_x * s_w) scale."""
+    s_x = fpq['act'][site]
+    s_w = fpq['wq'][site][1]
+    yf = y_i32.astype(jnp.float32) * (s_x * s_w)
+    if bias is not None:
+        yf = yf + bias.astype(jnp.float32)
+    return yf
+
+
+def _req(yf, site: str, fpq):
+    """Requantize an f32 epilogue value for consumption at ``site``."""
+    return _qround(yf, fpq['act'][site])
+
+
+def _max_pool_2x_i8(x):
+    return jax.lax.reduce_window(x, jnp.array(-128, x.dtype), jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), 'VALID')
+
+
+def _run_vgg_q8(fp, fpq, img, k_phase: int, dtype=jnp.bfloat16):
+    """VGG16 forward, int8-resident. Returns the 6 outputs of _run_vgg with
+    skips quantized for their decoder consumer: outs[0] is a PhaseSkip whose
+    .z is int8 at the 'dec0.cs_phase' scale; outs[s] (s=1..k_phase) is int8
+    at 'dec{s}.cs_std'; later skips and the bottom are bf16 (their decoder
+    stages run the plain float path)."""
+    act = fpq['act']
+    C0 = fp['W1'].shape[2] // 4
+    y0 = _conv_i8(_qround(img, act['W0']), fpq['wq']['W0'][0], strides=(2, 2),
+                  padding=((1, 1), (1, 1)))
+    z0q = _req(jax.nn.relu(_deq_f32(y0, 'W0', fpq, fp['b0'])), 'W1', fpq)
+    y1 = _conv_i8(z0q, fpq['wq']['W1'][0], padding=((1, 1), (1, 1)))
+    z1f = _mask_edges_flat(jax.nn.relu(_deq_f32(y1, 'W1', fpq, fp['b1'])), C0)
+    outs: List[Any] = [PhaseSkip(_req(z1f, 'dec0.cs_phase', fpq), C0)]
+    xq = _pool_from_offm1(_req(z1f, 's1c0', fpq), C0)
+    n_stages = len(fp['stages'])
+    for s, convs in enumerate(fp['stages'], start=1):
+        if s > 1:
+            xq = _max_pool_2x_i8(xq)
+        yf = None
+        for ci, (kw, b) in enumerate(convs):
+            site = f's{s}c{ci}'
+            yf = jax.nn.relu(_deq_f32(_conv_i8(xq, fpq['wq'][site][0]), site, fpq, b))
+            if ci + 1 < len(convs):
+                xq = _req(yf, f's{s}c{ci + 1}', fpq)
+        if s <= k_phase:
+            outs.append(_req(yf, f'dec{s}.cs_std', fpq))
+        else:
+            outs.append(yf.astype(dtype))
+        if s < n_stages:
+            xq = _req(yf, f's{s + 1}c0', fpq)
+        else:
+            outs.append(_max_pool_2x(yf.astype(dtype)))
+    return outs
+
+
+def _run_head_q8(fp, bottom, skips, fpq, k_phase: int, dtype=jnp.bfloat16):
+    stages = fp['stages']
+    n = len(stages)
+    from .fast_decode import _apply_stage_plain
+    x = bottom
+    for i in range(n - 1, k_phase, -1):  # plain stages: float path
+        x = _apply_stage_plain(stages[i], x, skips[i], dtype)
+    xq = _qround(x, fpq['act'][f'dec{k_phase}.t'])
+    yf = None
+    for i in range(k_phase, -1, -1):
+        st = stages[i]
+        t = _deq_f32(_conv_i8(xq, fpq['wq'][f'dec{i}.t'][0], padding=((1, 1), (1, 1))),
+                     f'dec{i}.t', fpq, st['bt'])
+        t = _mask_edges_flat(jax.nn.relu(t), st['Wt'].shape[-1] // 4)
+        tq = _req(t, f'dec{i}.ct', fpq)
+        y = _deq_f32(_conv_i8(tq, fpq['wq'][f'dec{i}.ct'][0], padding='VALID'),
+                     f'dec{i}.ct', fpq)
+        skip = skips[i]
+        if isinstance(skip, PhaseSkip):
+            y = y + _deq_f32(_conv_i8(skip.z, fpq['wq'][f'dec{i}.cs_phase'][0], padding='VALID'),
+                             f'dec{i}.cs_phase', fpq)
+        else:
+            y = y + _deq_f32(_conv_i8(skip, fpq['wq'][f'dec{i}.cs_std'][0], strides=(2, 2),
+                                      padding=((1, 1), (1, 1))), f'dec{i}.cs_std', fpq)
+        yf = jax.nn.relu(y + st['bc'].astype(jnp.float32))
+        if i > 0:
+            q = _req(yf, f'dec{i - 1}.t', fpq)
+            xq = d2s(q, q.shape[-1] // 4)
+    phase_out = yf.astype(dtype)
+    Wk, bk = fp['cls_kernel'], fp['cls_bias']
+    nc = Wk.shape[-1]
+    B, Hb, Wb, C4 = phase_out.shape
+    y = phase_out.reshape(B, Hb, Wb, 4, C4 // 4) @ Wk[0, 0].astype(dtype) + bk.astype(dtype)
+    return d2s(y.reshape(B, Hb, Wb, 4 * nc), nc)
+
+
+def resident_ok(fp_head) -> bool:
+    """The resident executor supports the shipped layout: phase stages form
+    a contiguous prefix {0..k} with at least one plain stage above (so the
+    bottom and upper skips are float), plus a cls head."""
+    stages = fp_head.get('stages', {})
+    phase_idx = sorted(i for i in stages if 'Wc_t' in stages[i])
+    return (bool(phase_idx) and phase_idx == list(range(len(phase_idx)))
+            and len(phase_idx) < len(stages) and 'cls_kernel' in fp_head)
+
+
+def apply_fast_unet_q8(fp_vgg, fp_head, fpq, img, dtype=jnp.bfloat16):
+    """Int8-resident fast-path forward: image -> class logits, activations
+    materialized as int8 between convs. Same quantization sites/scales as
+    ``apply_fast_unet_q``. Raises ValueError for head configs outside the
+    shipped phase-prefix layout (callers fall back to apply_fast_unet_q)."""
+    if not resident_ok(fp_head):
+        raise ValueError('int8-resident executor requires a contiguous phase-stage '
+                         'prefix with a plain stage above it and a cls head')
+    stages = fp_head['stages']
+    k = max(i for i in stages if 'Wc_t' in stages[i])
+    outs = _run_vgg_q8(fp_vgg, fpq, img, k, dtype=dtype)
+    return _run_head_q8(fp_head, outs[-1], outs[:-1], fpq, k, dtype=dtype)

@@ -115,7 +115,13 @@ class FastVGGUNetEval:
         if prep is None:
             prep = self.prepare_inference(variables)
         if 'int8' in prep:
-            from ..heads.quant_decode import apply_fast_unet_q
+            from ..heads.quant_decode import apply_fast_unet_q, apply_fast_unet_q8, resident_ok
+            if resident_ok(prep['head']):
+                # int8-RESIDENT executor: same quantization sites/scales,
+                # activations materialized int8 between convs (halves the
+                # memory-bound program's HBM traffic — docs/ROUND3.md)
+                return {'sem': apply_fast_unet_q8(prep['vgg'], prep['head'], prep['int8'],
+                                                  img, dtype=dtype)}
             return {'sem': apply_fast_unet_q(prep['vgg'], prep['head'], prep['int8'],
                                              img, dtype=dtype)}
         feats = apply_fast_vgg16(prep['vgg'], img, dtype=dtype)
