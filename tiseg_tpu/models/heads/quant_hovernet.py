@@ -1,0 +1,238 @@
+"""Int8 post-training-quantized eval path for HoverNet (opt-in).
+
+HoverNet is the zoo's compute-bound member: the stride-1 ResNetExt stem
+keeps layer1 at full resolution, so the trunk alone is ~8x UNet's FLOPs
+and the fused e2e measured 183 p/s bf16 (docs/PARITY.md SOL table pins
+it near the bf16 MXU ceiling). v5e's int8 MXU peak is 2x bf16, so a
+quantized forward is the one remaining lever with headroom.
+
+Mechanics mirror heads/quant_cdnet.py: one shared executor runs
+calibration (bf16, recording per-site input abs-max), the folded-bf16
+twin, and the int8 program, so the only divergence between float and
+quantized is 8-bit rounding.
+
+Architecture-specific choices:
+- The backbone is post-activation (conv->BN->ReLU, backbones/resnet.py
+  Bottleneck), so BN folds exactly into each conv kernel+bias.
+- The decoder dense blocks are PRE-activation (BN-ReLU-conv, reference
+  hovernet.py:62-122): those BNs cannot fold into a neighbouring conv
+  across the ReLU/concat, so eval-mode BN is precomputed to a per-channel
+  affine (a, c) and applied explicitly — XLA fuses it into the
+  surrounding elementwise epilogue either way.
+- Quantized: the stem, all 48 bottleneck convs + 4 downsamples, conv_bot,
+  and every branch conv except the final 1x1 ``u0_cls`` heads (<0.1% of
+  FLOPs; their logits feed argmax/watershed directly). The dense-unit
+  3x3 convs keep their ``feature_group_count=4`` grouping in int8.
+
+Nothing here is on a default route; HoverNet.calibrate_int8 +
+test_cfg['int8_eval'] opt in. Reference forward being accelerated:
+tiseg/models/segmentors/hovernet.py:26-173.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import upsample_2x_nearest
+from .fast_decode import _conv, fold_conv_bn
+from .quant_decode import _qround, _wquant
+
+# ResNet50 plan (backbones/resnet.py DEPTH_PLAN) and decoder layout
+# (segmentors/hovernet.py HoverDecoderBranch).
+_LAYERS = (3, 4, 6, 3)
+_DENSE_UNITS = {'u3': 8, 'u2': 4}
+_BRANCHES = ('tp', 'np', 'hv')
+_EPS = 1e-5
+
+
+def _bn_affine(p: Dict[str, Any], s: Dict[str, Any], dtype):
+    """Eval-mode BatchNorm as a per-channel affine (a, c): bn(x) = a*x + c."""
+    a = p['scale'].astype(jnp.float32) / jnp.sqrt(s['var'].astype(jnp.float32) + _EPS)
+    c = p['bias'].astype(jnp.float32) - s['mean'].astype(jnp.float32) * a
+    return a.astype(dtype), c.astype(dtype)
+
+
+def _folded(p, s, conv: str, bn: str, dtype):
+    k, b = fold_conv_bn(p[conv]['kernel'], p[bn]['scale'], p[bn]['bias'],
+                        s[bn]['mean'], s[bn]['var'])
+    return k.astype(dtype), b.astype(dtype)
+
+
+def build_hovernet_fp(params: Dict[str, Any], stats: Dict[str, Any], dtype=jnp.bfloat16):
+    """Flatten a HoverNetNet variables tree into the executor's folded form."""
+    bp, bs = params['backbone'], stats['backbone']
+    stem = _folded(bp, bs, 'stem_conv', 'stem_bn', dtype)
+    blocks: List[List[Dict[str, Any]]] = []
+    for si, n in enumerate(_LAYERS):
+        stage = []
+        for bi in range(n):
+            nm = f'layer{si + 1}_block{bi}'
+            blk_p, blk_s = bp[nm], bs[nm]
+            blk = {'c1': _folded(blk_p, blk_s, 'conv1', 'bn1', dtype),
+                   'c2': _folded(blk_p, blk_s, 'conv2', 'bn2', dtype),
+                   'c3': _folded(blk_p, blk_s, 'conv3', 'bn3', dtype),
+                   'down': (_folded(blk_p, blk_s, 'downsample', 'bn_down', dtype)
+                            if 'downsample' in blk_p else None)}
+            stage.append(blk)
+        blocks.append(stage)
+
+    def dense(dp, ds, units: int):
+        out = []
+        for u in range(units):
+            out.append({'bn1': _bn_affine(dp[f'u{u}_bn1'], ds[f'u{u}_bn1'], dtype),
+                        'W1': dp[f'u{u}_conv1']['kernel'].astype(dtype),
+                        'bn2': _bn_affine(dp[f'u{u}_bn2'], ds[f'u{u}_bn2'], dtype),
+                        'W2': dp[f'u{u}_conv2']['kernel'].astype(dtype)})
+        return out, _bn_affine(dp['blk_bn'], ds['blk_bn'], dtype)
+
+    branches: Dict[str, Dict[str, Any]] = {}
+    for nm in _BRANCHES:
+        hp, hs = params[nm], stats[nm]
+        br: Dict[str, Any] = {}
+        for lvl in ('u3', 'u2'):
+            br[f'{lvl}a'] = hp[f'{lvl}_conva']['kernel'].astype(dtype)
+            br[f'{lvl}d'], br[f'{lvl}_blk_bn'] = dense(hp[f'{lvl}_dense'], hs[f'{lvl}_dense'],
+                                                       _DENSE_UNITS[lvl])
+            br[f'{lvl}f'] = hp[f'{lvl}_convf']['kernel'].astype(dtype)
+        br['u1a'] = hp['u1_conva']['kernel'].astype(dtype)
+        br['u0_bn'] = _bn_affine(hp['u0_bn'], hs['u0_bn'], dtype)
+        br['u0_cls'] = (hp['u0_cls']['kernel'].astype(jnp.float32),
+                        hp['u0_cls']['bias'].astype(jnp.float32))
+        branches[nm] = br
+
+    return {'stem': stem, 'blocks': blocks,
+            'conv_bot': params['conv_bot']['kernel'].astype(dtype),
+            'branches': branches}
+
+
+# ---------------------------------------------------------------------------
+# shared executor (calibration / bf16 / int8 are one code path)
+# ---------------------------------------------------------------------------
+
+def _cq(x, site: str, W, bias: Optional[Any], fpq, scales_out, strides=(1, 1),
+        padding='SAME', groups: int = 1, dtype=jnp.bfloat16):
+    """One quantizable conv site (see quant_cdnet._conv_q)."""
+    if fpq is None:
+        if scales_out is not None:
+            scales_out[site] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        y = jax.lax.conv_general_dilated(x.astype(dtype), W.astype(dtype), strides, padding,
+                                         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                                         feature_group_count=groups)
+    else:
+        s_x = fpq['act'][site]
+        Wq, s_w = fpq['wq'][site]
+        y = jax.lax.conv_general_dilated(_qround(x, s_x), Wq, strides, padding,
+                                         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                                         feature_group_count=groups,
+                                         preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * (s_x * s_w)).astype(dtype)
+    return y if bias is None else y + bias.astype(dtype)
+
+
+def _run_backbone(fp, img, fpq, scales_out, dtype):
+    relu = jax.nn.relu
+    x = relu(_cq(img, 'stem', *fp['stem'], fpq, scales_out,
+                 padding=((3, 3), (3, 3)), dtype=dtype))
+    outs = []
+    for si, stage in enumerate(fp['blocks']):
+        for bi, blk in enumerate(stage):
+            strides = (2, 2) if (bi == 0 and si > 0) else (1, 1)
+            pre = f'l{si}b{bi}'
+            y = relu(_cq(x, f'{pre}c1', *blk['c1'], fpq, scales_out, dtype=dtype))
+            y = relu(_cq(y, f'{pre}c2', *blk['c2'], fpq, scales_out, strides=strides,
+                         padding=((1, 1), (1, 1)), dtype=dtype))
+            y = _cq(y, f'{pre}c3', *blk['c3'], fpq, scales_out, dtype=dtype)
+            res = (x if blk['down'] is None else
+                   _cq(x, f'{pre}d', *blk['down'], fpq, scales_out, strides=strides, dtype=dtype))
+            x = relu(y + res)
+        outs.append(x)
+    return outs
+
+
+def _run_branch(fp_br, nm: str, feats, fpq, scales_out, dtype):
+    relu = jax.nn.relu
+
+    def affine(x, ac):
+        a, c = ac
+        return x * a + c
+
+    def dense_block(x, lvl: str):
+        for u, unit in enumerate(fp_br[f'{lvl}d']):
+            y = relu(affine(x, unit['bn1']))
+            y = _cq(y, f'{nm}.{lvl}d{u}c1', unit['W1'], None, fpq, scales_out, dtype=dtype)
+            y = relu(affine(y, unit['bn2']))
+            y = _cq(y, f'{nm}.{lvl}d{u}c2', unit['W2'], None, fpq, scales_out,
+                    groups=4, dtype=dtype)
+            x = jnp.concatenate([x, y], axis=-1)
+        return relu(affine(x, fp_br[f'{lvl}_blk_bn']))
+
+    d0, d1, d2, d3 = feats
+    u3 = upsample_2x_nearest(d3) + d2
+    u3 = _cq(u3, f'{nm}.u3a', fp_br['u3a'], None, fpq, scales_out, dtype=dtype)
+    u3 = _cq(dense_block(u3, 'u3'), f'{nm}.u3f', fp_br['u3f'], None, fpq, scales_out, dtype=dtype)
+    u2 = upsample_2x_nearest(u3) + d1
+    u2 = _cq(u2, f'{nm}.u2a', fp_br['u2a'], None, fpq, scales_out, dtype=dtype)
+    u2 = _cq(dense_block(u2, 'u2'), f'{nm}.u2f', fp_br['u2f'], None, fpq, scales_out, dtype=dtype)
+    u1 = upsample_2x_nearest(u2) + d0
+    u1 = _cq(u1, f'{nm}.u1a', fp_br['u1a'], None, fpq, scales_out, dtype=dtype)
+    u0 = relu(affine(u1, fp_br['u0_bn']))
+    # stays float: logits feed argmax/watershed. f32 like the flax module
+    # (u0_cls has no dtype arg -> float32 output contract, hovernet.py:82).
+    Wk, bk = fp_br['u0_cls']
+    return (_conv(u0.astype(jnp.float32), Wk.astype(jnp.float32))
+            + bk.astype(jnp.float32))
+
+
+def _run_hovernet(fp, img, fpq, scales_out, dtype=jnp.bfloat16):
+    feats = _run_backbone(fp, img, fpq, scales_out, dtype)
+    d3 = _cq(feats[3], 'bot', fp['conv_bot'], None, fpq, scales_out, dtype=dtype)
+    feats = (feats[0], feats[1], feats[2], d3)
+    out = {nm: _run_branch(fp['branches'][nm], nm, feats, fpq, scales_out, dtype)
+           for nm in _BRANCHES}
+    return {'sem': out['tp'], 'fore': out['np'], 'hv': out['hv']}
+
+
+# ---------------------------------------------------------------------------
+# public API (mirrors quant_cdnet)
+# ---------------------------------------------------------------------------
+
+def calibrate(fp, img, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+    """One float forward recording every quantized site's input abs-max."""
+    scales: Dict[str, jnp.ndarray] = {}
+    _run_hovernet(fp, img, None, scales, dtype=dtype)
+    return scales
+
+
+def quantize_params(fp, act_maxes: Dict[str, Any], margin: float = 1.0):
+    act = {k: jnp.maximum(jnp.asarray(v, jnp.float32) * margin, 1e-12) / 127.0
+           for k, v in act_maxes.items()}
+    wq: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+    wq['stem'] = _wquant(fp['stem'][0])
+    for si, stage in enumerate(fp['blocks']):
+        for bi, blk in enumerate(stage):
+            pre = f'l{si}b{bi}'
+            for cn in ('c1', 'c2', 'c3'):
+                wq[f'{pre}{cn}'] = _wquant(blk[cn][0])
+            if blk['down'] is not None:
+                wq[f'{pre}d'] = _wquant(blk['down'][0])
+    wq['bot'] = _wquant(fp['conv_bot'])
+    for nm in _BRANCHES:
+        br = fp['branches'][nm]
+        for lvl in ('u3', 'u2'):
+            wq[f'{nm}.{lvl}a'] = _wquant(br[f'{lvl}a'])
+            for u, unit in enumerate(br[f'{lvl}d']):
+                wq[f'{nm}.{lvl}d{u}c1'] = _wquant(unit['W1'])
+                wq[f'{nm}.{lvl}d{u}c2'] = _wquant(unit['W2'])
+            wq[f'{nm}.{lvl}f'] = _wquant(br[f'{lvl}f'])
+        wq[f'{nm}.u1a'] = _wquant(br['u1a'])
+    return {'act': act, 'wq': wq}
+
+
+def apply_hovernet_q(fp, fpq, img, dtype=jnp.bfloat16):
+    return _run_hovernet(fp, img, fpq, None, dtype=dtype)
+
+
+def apply_hovernet_bf16(fp, img, dtype=jnp.bfloat16):
+    return _run_hovernet(fp, img, None, None, dtype=dtype)

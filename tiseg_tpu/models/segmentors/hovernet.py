@@ -110,6 +110,40 @@ class HoverNet(BaseSegmentor):
         super().__init__(num_classes, train_cfg, test_cfg)
         self.net = HoverNetNet(num_classes=num_classes, dtype=dtype, axis_name=axis_name)
 
+    # -- int8 PTQ eval path (heads/quant_hovernet.py; opt-in) ----------------
+    def prepare_inference(self, variables):
+        """Fold BN once per eval program when the int8 route is active
+        (test_cfg['int8_eval'] + a prior calibrate_int8 call); None keeps
+        the default flax forward. Same contract as CDNet/UNet."""
+        if not (self.test_cfg.get('int8_eval', False) and getattr(self, '_int8_fpq', None) is not None):
+            return None
+        from ..heads.quant_hovernet import build_hovernet_fp
+        return {'fp': build_hovernet_fp(variables['params'], variables['batch_stats'],
+                                        dtype=self.net.dtype),
+                'int8': self._int8_fpq}
+
+    def calibrate_int8(self, variables, calib_img):
+        """One-batch abs-max calibration + weight quantization for the int8
+        eval path (same contract as UNet/CDNet.calibrate_int8)."""
+        import jax
+
+        from ..heads.quant_hovernet import build_hovernet_fp, calibrate, quantize_params
+        dtype = self.net.dtype
+        fp = build_hovernet_fp(variables['params'], variables['batch_stats'], dtype=dtype)
+        scales = jax.jit(lambda im: calibrate(fp, im, dtype=dtype))(calib_img)
+        self._int8_fpq = quantize_params(fp, jax.device_get(scales))
+        return self._int8_fpq
+
+    def forward_heads(self, variables, img, train: bool = False, rng=None, mutable=False, prep=None):
+        if train or mutable:
+            return super().forward_heads(variables, img, train=train, rng=rng, mutable=mutable)
+        if prep is None:
+            prep = self.prepare_inference(variables)
+        if prep is None:
+            return super().forward_heads(variables, img, train=train, rng=rng, mutable=mutable)
+        from ..heads.quant_hovernet import apply_hovernet_q
+        return apply_hovernet_q(prep['fp'], prep['int8'], img, dtype=self.net.dtype)
+
     def loss(self, variables, batch, train: bool = True, rng=None):
         heads, new_state = self.forward_heads(variables, batch['data']['img'], train=True, rng=rng, mutable=True)
         sem_logit, hv_logit, fore_logit = heads['sem'], heads['hv'], heads['fore']
@@ -141,9 +175,10 @@ class HoverNet(BaseSegmentor):
 
         mode = self.test_cfg.get('mode', 'whole')
         views = tta_views(self.test_cfg)
+        prep = self.prepare_inference(variables)
 
         def calc(patch):
-            return self.forward_heads(variables, patch, train=False)
+            return self.forward_heads(variables, patch, train=False, prep=prep)
 
         ws = self.test_cfg.get('crop_size', (0,))[0]
         os_ = self.test_cfg.get('overlap_size', (0,))[0]
