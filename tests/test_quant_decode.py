@@ -59,6 +59,12 @@ def test_calibration_covers_every_quantized_site(unet_prep):
     for k, (wq, sw) in fpq['wq'].items():
         assert wq.dtype == jnp.int8, k
         assert sw.ndim == 1
+    # the plain (non-phase) decoder stages are sited too: UNet's default
+    # phase prefix is {0, 1}, so stages 2..4 carry dec{i}.pt / dec{i}.pc
+    for i in (2, 3, 4):
+        assert f'dec{i}.pt' in fpq['wq'], f'plain tconv site dec{i}.pt missing'
+        assert f'dec{i}.pc' in fpq['wq'], f'plain concat-conv site dec{i}.pc missing'
+    assert quant_decode._plain_sites_ok(fpq, 1, 5)
 
 
 def test_int8_close_to_float_and_argmax_agrees(unet_prep):

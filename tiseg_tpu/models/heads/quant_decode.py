@@ -5,7 +5,9 @@ v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 TOPS vs
 over the bf16 ceiling the round-3 account pinned (docs/ROUND3.md). This
 module is the opt-in experiment: symmetric per-output-channel weight
 quantization + per-site static activation scales (abs-max calibration),
-every hot conv of the fast UNet path (fast_decode.py) executed as an
+every hot conv of the fast UNet path (fast_decode.py) — the VGG trunk,
+the phase-space decode stages AND the plain (non-phase) decode stages
+(tconv + concat conv, one shared scale for the concat) — executed as an
 int8 conv with dequant+bias+relu fused around it by XLA. The final
 ``cls`` head conv stays bf16 (it is <0.5% of the FLOPs and its output
 feeds the argmax directly, where 8-bit logit rounding costs accuracy
@@ -36,8 +38,11 @@ from .fast_decode import (PhaseSkip, _conv, _mask_edges_flat, _max_pool_2x, _poo
 # conv "sites" (activation-scale keys) in execution order:
 #   vgg: W0 (raw image), W1, s{1..4}c{0..} (stage convs)
 #   head: dec{i}.t (tconv input), dec{i}.ct (block conv on tconv output),
-#         dec{i}.cs (skip conv input). The cls head conv is NOT a site:
-#         it runs bf16 (see module docstring).
+#         dec{i}.cs (skip conv input); PLAIN (non-phase) decoder stages use
+#         dec{i}.pt (tconv input) and dec{i}.pc (the concat [up, skip]
+#         tensor feeding the stage conv — one shared scale for both
+#         halves, so concatenation happens in int8). The cls head conv is
+#         NOT a site: it runs bf16 (see module docstring).
 
 
 def _qround(x, scale):
@@ -91,6 +96,54 @@ def _run_vgg(fp, img, fpq, scales_out, dtype=jnp.bfloat16):
     return outs
 
 
+def _tconv(x, W, preferred_element_type=None):
+    return jax.lax.conv_transpose(x, W, (2, 2), 'SAME',
+                                  dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                                  preferred_element_type=preferred_element_type)
+
+
+def _pad_to(y, skip):
+    dh = skip.shape[1] - y.shape[1]
+    dw = skip.shape[2] - y.shape[2]
+    if dh or dw:
+        y = jnp.pad(y, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
+    return y
+
+
+def _plain_stage_sited(st, i, x, skip, fpq, scales_out, dtype):
+    """A plain (non-phase) decoder stage with quantization sites dec{i}.pt
+    / dec{i}.pc. Mirrors fast_decode._apply_stage_plain exactly (same op
+    order/dtypes) so the calibration executor stays bit-identical to the
+    shipped fast path; quantized mode runs the tconv and the concat conv
+    as int8 convs with dequant around each (the concat's two halves share
+    the dec{i}.pc scale)."""
+    from .fast_decode import PhaseSkip, _apply_stage_plain
+    if isinstance(skip, PhaseSkip):  # not reachable on the shipped layout
+        return _apply_stage_plain(st, x, skip, dtype)
+    if fpq is None:
+        if scales_out is not None:
+            scales_out[f'dec{i}.pt'] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        y = jax.nn.relu(_tconv(x.astype(dtype), st['Wt']) + st['bt'])
+        y = _pad_to(y, skip)
+        y = jnp.concatenate([y, skip.astype(dtype)], axis=-1)
+        if scales_out is not None:
+            scales_out[f'dec{i}.pc'] = jnp.max(jnp.abs(y.astype(jnp.float32)))
+        return jax.nn.relu(_conv(y, st['Wc']) + st['bc'])
+    s_x = fpq['act'][f'dec{i}.pt']
+    Wq_t, s_wt = fpq['wq'][f'dec{i}.pt']
+    yt = _tconv(_qround(x, s_x), Wq_t, preferred_element_type=jnp.int32)
+    y = jax.nn.relu((yt.astype(jnp.float32) * (s_x * s_wt)).astype(dtype) + st['bt'].astype(dtype))
+    s_c = fpq['act'][f'dec{i}.pc']
+    yq = _pad_to(_qround(y, s_c), skip)
+    cat = jnp.concatenate([yq, _qround(skip, s_c)], axis=-1)
+    Wq_c, s_wc = fpq['wq'][f'dec{i}.pc']
+    y2 = jax.lax.conv_general_dilated(cat, Wq_c, (1, 1), 'SAME',
+                                      dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                                      preferred_element_type=jnp.int32)
+    y2 = (y2.astype(jnp.float32) * (s_c * s_wc)).astype(dtype) + st['bc'].astype(dtype)
+    return jax.nn.relu(y2)
+
+
 def _run_head(fp, bottom, skips, fpq, scales_out, dtype=jnp.bfloat16):
     x = bottom
     n = len(fp['stages'])
@@ -117,12 +170,11 @@ def _run_head(fp, bottom, skips, fpq, scales_out, dtype=jnp.bfloat16):
                                 strides=(2, 2), padding=((1, 1), (1, 1)), dtype=dtype)
             phase_out = jax.nn.relu(y + st['bc'].astype(dtype))
             x = None
-        else:  # plain folded stage (not used by UNet's default phase config)
-            from .fast_decode import _apply_stage_plain
+        else:  # plain folded stage (UNet default: decode indices > 1)
             if phase_out is not None:
                 x = d2s(phase_out, phase_out.shape[-1] // 4)
                 phase_out = None
-            x = _apply_stage_plain(st, x, skips[i], dtype)
+            x = _plain_stage_sited(st, i, x, skips[i], fpq, scales_out, dtype)
     Wk, bk = fp['cls_kernel'], fp['cls_bias']
     nc = Wk.shape[-1]
     if phase_out is not None:
@@ -168,6 +220,9 @@ def quantize_params(fp_vgg, fp_head, act_maxes: Dict[str, Any], margin: float = 
                 wq[f'dec{i}.cs_phase'] = _wquant(st['Wc_s_phase'])
             if f'dec{i}.cs_std' in act:
                 wq[f'dec{i}.cs_std'] = _wquant(st['Wc_s'])
+        elif f'dec{i}.pt' in act:  # plain stage (PhaseSkip plain stages record no site)
+            wq[f'dec{i}.pt'] = _wquant(st['Wt'])
+            wq[f'dec{i}.pc'] = _wquant(st['Wc'])
     return {'act': act, 'wq': wq}
 
 
@@ -233,12 +288,22 @@ def _max_pool_2x_i8(x):
                                  (1, 2, 2, 1), (1, 2, 2, 1), 'VALID')
 
 
+def _plain_sites_ok(fpq, k_phase: int, n_head: int) -> bool:
+    """True iff EVERY plain decoder stage (k_phase+1 .. n_head-1) has its
+    int8 sites — the int8-resident plain path is all-or-nothing so the
+    VGG skip emission and the head consumption always agree on dtype."""
+    return all(f'dec{i}.pt' in fpq['act'] and f'dec{i}.pc' in fpq['act']
+               for i in range(k_phase + 1, n_head))
+
+
 def _run_vgg_q8(fp, fpq, img, k_phase: int, dtype=jnp.bfloat16):
     """VGG16 forward, int8-resident. Returns the 6 outputs of _run_vgg with
     skips quantized for their decoder consumer: outs[0] is a PhaseSkip whose
     .z is int8 at the 'dec0.cs_phase' scale; outs[s] (s=1..k_phase) is int8
-    at 'dec{s}.cs_std'; later skips and the bottom are bf16 (their decoder
-    stages run the plain float path)."""
+    at 'dec{s}.cs_std'; later skips are int8 at 'dec{s}.pc' (their plain
+    decoder stages consume the concat in int8) and the bottom is max-pooled
+    in int8 at 'dec{n}.pt' — falling back to bf16 when the plain sites are
+    absent from ``fpq`` (_plain_sites_ok)."""
     act = fpq['act']
     C0 = fp['W1'].shape[2] // 4
     y0 = _conv_i8(_qround(img, act['W0']), fpq['wq']['W0'][0], strides=(2, 2),
@@ -249,6 +314,7 @@ def _run_vgg_q8(fp, fpq, img, k_phase: int, dtype=jnp.bfloat16):
     outs: List[Any] = [PhaseSkip(_req(z1f, 'dec0.cs_phase', fpq), C0)]
     xq = _pool_from_offm1(_req(z1f, 's1c0', fpq), C0)
     n_stages = len(fp['stages'])
+    plain_q = _plain_sites_ok(fpq, k_phase, n_stages + 1)
     for s, convs in enumerate(fp['stages'], start=1):
         if s > 1:
             xq = _max_pool_2x_i8(xq)
@@ -260,10 +326,14 @@ def _run_vgg_q8(fp, fpq, img, k_phase: int, dtype=jnp.bfloat16):
                 xq = _req(yf, f's{s}c{ci + 1}', fpq)
         if s <= k_phase:
             outs.append(_req(yf, f'dec{s}.cs_std', fpq))
+        elif plain_q:  # plain decoder skip, consumed in int8
+            outs.append(_req(yf, f'dec{s}.pc', fpq))
         else:
             outs.append(yf.astype(dtype))
         if s < n_stages:
             xq = _req(yf, f's{s + 1}c0', fpq)
+        elif plain_q:  # bottom: pool commutes with symmetric quant
+            outs.append(_max_pool_2x_i8(_req(yf, f'dec{n_stages}.pt', fpq)))
         else:
             outs.append(_max_pool_2x(yf.astype(dtype)))
     return outs
@@ -274,9 +344,30 @@ def _run_head_q8(fp, bottom, skips, fpq, k_phase: int, dtype=jnp.bfloat16):
     n = len(stages)
     from .fast_decode import _apply_stage_plain
     x = bottom
-    for i in range(n - 1, k_phase, -1):  # plain stages: float path
-        x = _apply_stage_plain(stages[i], x, skips[i], dtype)
-    xq = _qround(x, fpq['act'][f'dec{k_phase}.t'])
+    # plain stages run int8 only when EVERY one is sited (an fpq from a
+    # calibration without plain sites keeps the float path; _run_vgg_q8
+    # gates its int8 skip/bottom emission on the same predicate)
+    plain_q = _plain_sites_ok(fpq, k_phase, n)
+    for i in range(n - 1, k_phase, -1):
+        st = stages[i]
+        if not plain_q:
+            x = _apply_stage_plain(st, x, skips[i], dtype)
+            continue
+        site_t = f'dec{i}.pt'
+        xq = x if x.dtype == jnp.int8 else _qround(x, fpq['act'][site_t])
+        Wq_t, s_wt = fpq['wq'][site_t]
+        yt = _tconv(xq, Wq_t, preferred_element_type=jnp.int32)
+        yf = jax.nn.relu(yt.astype(jnp.float32) * (fpq['act'][site_t] * s_wt)
+                         + st['bt'].astype(jnp.float32))
+        site_c = f'dec{i}.pc'
+        yq = _pad_to(_req(yf, site_c, fpq), skips[i])
+        skip = skips[i]
+        skip_q = skip if skip.dtype == jnp.int8 else _qround(skip, fpq['act'][site_c])
+        cat = jnp.concatenate([yq, skip_q], axis=-1)
+        yf2 = jax.nn.relu(_deq_f32(_conv_i8(cat, fpq['wq'][site_c][0]), site_c, fpq, st['bc']))
+        next_site = f'dec{i - 1}.pt' if i - 1 > k_phase else f'dec{k_phase}.t'
+        x = _req(yf2, next_site, fpq)
+    xq = x if x.dtype == jnp.int8 else _qround(x, fpq['act'][f'dec{k_phase}.t'])
     yf = None
     for i in range(k_phase, -1, -1):
         st = stages[i]
