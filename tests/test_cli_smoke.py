@@ -103,3 +103,35 @@ def test_bench_input_pipeline_cli():
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert 'items/s/core' in r.stdout
+
+@pytest.mark.slow
+def test_test_cli_int8(tmp_path):
+    """tools/test.py --int8-calib N: eval CLI calibrates on test crops and
+    routes inference through the int8 PTQ executor end-to-end (checkpoint
+    restore -> calibrate -> eval -> metrics)."""
+    root = str(tmp_path / 'ds')
+    make_mini_dataset(root, n=4, hw=64)
+    cfg_path = str(tmp_path / 'cfg.py')
+    with open(cfg_path, 'w') as f:
+        f.write(CONFIG_TPL.format(root=root))
+
+    # save an init checkpoint in the layout tools/test.py restores
+    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    import jax
+    import orbax.checkpoint as ocp
+    from tiseg_tpu.models import build_segmentor
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(),
+                               test_cfg=dict(mode='whole', radius=1)))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    ckpt = str(tmp_path / 'work' / 'ckpt')
+    ocp.StandardCheckpointer().save(
+        ckpt, {'params': variables['params'], 'batch_stats': variables['batch_stats']})
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run([sys.executable, osp.join(REPO, 'tools', 'test.py'), cfg_path, ckpt,
+                        '--int8-calib', '2'],
+                       capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, (r.stderr[-4000:], r.stdout[-2000:])
+    blob = r.stdout + r.stderr
+    assert 'int8 eval: calibrated on 2 test crops' in blob
+    assert 'eval results' in blob

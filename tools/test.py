@@ -28,12 +28,42 @@ def load_variables(checkpoint_dir, segmentor, hw=(256, 256)):
     return restored
 
 
+def calibrate_int8_from_dataset(segmentor, variables, dataset, n: int, hw: int = 256):
+    """Post-training-quantize the eval forward: abs-max calibrate on ``n``
+    center crops from the test dataset, then flip ``test_cfg['int8_eval']``
+    so every subsequent jitted eval program routes through the int8
+    executor (heads/quant_decode.py — UNet family; quant_cdnet.py /
+    quant_hovernet.py for CDNet / HoverNet). Same scheme the TPU bench
+    gates on held-out instance accuracy (docs/ROUND3.md: <=0.15 Aji pts
+    measured cost on the briefly-trained workload)."""
+    import jax.numpy as jnp
+    import numpy as np
+    if not hasattr(segmentor, 'calibrate_int8'):
+        raise SystemExit(f'{type(segmentor).__name__} has no int8 eval path '
+                         '(supported: UNet/CUNet, CDNet, HoverNet)')
+    imgs = [np.asarray(dataset[i]['data']['img'], np.float32)
+            for i in range(min(n, len(dataset)))]
+    # one common /4-divisible crop size so the batch stacks (the int8
+    # executors accept any /4-divisible plane)
+    s = min([hw] + [min(im.shape[:2]) for im in imgs]) // 4 * 4
+    crops = []
+    for img in imgs:
+        y0, x0 = (img.shape[0] - s) // 2, (img.shape[1] - s) // 2
+        crops.append(img[y0:y0 + s, x0:x0 + s])
+    segmentor.calibrate_int8(variables, jnp.asarray(np.stack(crops)))
+    segmentor.test_cfg['int8_eval'] = True
+
+
 def main():
     p = argparse.ArgumentParser(description='Evaluate a segmentor checkpoint')
     p.add_argument('config')
     p.add_argument('checkpoint')
     p.add_argument('--show', action='store_true')
     p.add_argument('--show-folder', default=None)
+    p.add_argument('--int8-calib', type=int, default=0, metavar='N',
+                   help='post-training-quantize the eval forward: calibrate on N '
+                        'test-set center crops, then run inference through the '
+                        'int8 executor (UNet/CUNet, CDNet, HoverNet)')
     p.add_argument('--options', nargs='+', default=[])
     args = p.parse_args()
 
@@ -48,8 +78,13 @@ def main():
     test_cfgs = cfg.data['test']
     if not isinstance(test_cfgs, list):
         test_cfgs = [test_cfgs]
+    calibrated = False
     for tc in test_cfgs:
         dataset = build_dataset(tc, default_args=dict(test_mode=True))
+        if args.int8_calib and not calibrated:
+            calibrate_int8_from_dataset(segmentor, variables, dataset, args.int8_calib)
+            logger.info(f'int8 eval: calibrated on {args.int8_calib} test crops')
+            calibrated = True
         results = single_device_test(segmentor, variables, dataset, show=args.show, show_folder=args.show_folder)
         eval_results, storage = dataset.evaluate(results)
         out = osp.join(osp.dirname(osp.dirname(osp.abspath(args.checkpoint))), 'eval')
