@@ -52,8 +52,9 @@ def test_calibration_covers_every_quantized_site(cdnet_prep):
     scales = jax.jit(lambda im: quant_cdnet.calibrate(fp, im, dtype=seg.net.dtype))(img)
     fpq = quant_cdnet.quantize_params(fp, scales)
     assert set(fpq['wq']) <= set(fpq['act'])
-    # 13 VGG + 5 tconv + 5 decoder convs + 6 DGM residual convs
-    assert len(fpq['wq']) == 13 + 5 + 5 + 6
+    # 13 VGG + 5 tconv + 5 decoder convs + 6 DGM residual convs, plus the
+    # resident-only sites: 3 RU identity 1x1s + 3 head 1x1s
+    assert len(fpq['wq']) == 13 + 5 + 5 + 6 + 3 + 3
     for k, (wq, sw) in fpq['wq'].items():
         assert wq.dtype == jnp.int8, k
         assert sw.ndim == 1
@@ -74,6 +75,42 @@ def test_int8_close_to_float_and_argmax_agrees(cdnet_prep):
         assert float(np.abs(g - w).max()) < 0.25 * rng_ + 1e-3, k
     agree = float((np.asarray(got['sem']).argmax(-1) == np.asarray(want['sem']).argmax(-1)).mean())
     assert agree > 0.97, f'sem argmax agreement {agree}'
+
+
+def test_int8_resident_matches_dequant_path(cdnet_prep):
+    """apply_cdnet_q8 (activations stay int8 between convs, int8 1x1 heads via
+    the gate-commutation rewrite) stays close to both the dequant int8 path
+    and the float executor, and agrees with the float argmax."""
+    seg, variables, fp, img = cdnet_prep
+    dtype = seg.net.dtype
+    scales = quant_cdnet.calibrate(fp, img, dtype=dtype)
+    fpq = quant_cdnet.quantize_params(fp, scales)
+    assert quant_cdnet.resident_ok(fpq)
+    want = quant_cdnet.apply_cdnet_bf16(fp, img, dtype=dtype)
+    got_q = jax.jit(lambda im: quant_cdnet.apply_cdnet_q(fp, fpq, im, dtype=dtype))(img)
+    got_q8 = jax.jit(lambda im: quant_cdnet.apply_cdnet_q8(fp, fpq, im, dtype=dtype))(img)
+    for k in ('sem', 'dir', 'point'):
+        w = np.asarray(want[k], np.float32)
+        g8 = np.asarray(got_q8[k], np.float32)
+        assert g8.shape == w.shape
+        rng_ = float(w.max() - w.min())
+        assert float(np.abs(g8 - w).max()) < 0.25 * rng_ + 1e-3, k
+        # and close to the dequant int8 path (same sites/scales; the only new
+        # quantizations are the 1x1 identity/head convs)
+        gq = np.asarray(got_q[k], np.float32)
+        assert float(np.abs(g8 - gq).max()) < 0.15 * rng_ + 1e-3, k
+    agree = float((np.asarray(got_q8['sem']).argmax(-1) == np.asarray(want['sem']).argmax(-1)).mean())
+    assert agree > 0.97, f'sem argmax agreement {agree}'
+
+
+def test_resident_requires_resident_sites(cdnet_prep):
+    seg, variables, fp, img = cdnet_prep
+    scales = quant_cdnet.calibrate(fp, img, dtype=seg.net.dtype)
+    scales = {k: v for k, v in scales.items() if k != 'point_conv'}  # older calibration
+    fpq = quant_cdnet.quantize_params(fp, scales)
+    assert not quant_cdnet.resident_ok(fpq)
+    with pytest.raises(ValueError):
+        quant_cdnet.apply_cdnet_q8(fp, fpq, img, dtype=seg.net.dtype)
 
 
 def test_segmentor_opt_in_routes_inference(cdnet_prep):

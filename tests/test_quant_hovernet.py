@@ -81,6 +81,29 @@ def test_int8_close_to_float_and_argmax_agrees(hovernet_prep):
     assert agree > 0.95, f'sem argmax agreement {agree}'
 
 
+def test_int8_backbone_resident_matches_dequant_path(hovernet_prep):
+    """apply_hovernet_q8 (trunk activations stay int8 between convs; identity
+    residuals read the dequantized int8 copy) stays close to both the dequant
+    int8 path and the float executor, and agrees with the float argmax."""
+    seg, variables, fp, img = hovernet_prep
+    dtype = seg.net.dtype
+    scales = quant_hovernet.calibrate(fp, img, dtype=dtype)
+    fpq = quant_hovernet.quantize_params(fp, scales)
+    want = quant_hovernet.apply_hovernet_bf16(fp, img, dtype=dtype)
+    got_q = jax.jit(lambda im: quant_hovernet.apply_hovernet_q(fp, fpq, im, dtype=dtype))(img)
+    got_q8 = jax.jit(lambda im: quant_hovernet.apply_hovernet_q8(fp, fpq, im, dtype=dtype))(img)
+    for k in ('sem', 'fore', 'hv'):
+        w = np.asarray(want[k], np.float32)
+        g8 = np.asarray(got_q8[k], np.float32)
+        assert g8.shape == w.shape
+        rng_ = float(w.max() - w.min())
+        assert float(np.abs(g8 - w).max()) < 0.25 * rng_ + 1e-3, k
+        gq = np.asarray(got_q[k], np.float32)
+        assert float(np.abs(g8 - gq).max()) < 0.15 * rng_ + 1e-3, k
+    agree = float((np.asarray(got_q8['sem']).argmax(-1) == np.asarray(want['sem']).argmax(-1)).mean())
+    assert agree > 0.95, f'sem argmax agreement {agree}'
+
+
 def test_segmentor_opt_in_routes_inference(hovernet_prep):
     seg, variables, fp, img = hovernet_prep
     seg.test_cfg['int8_eval'] = True
@@ -92,8 +115,8 @@ def test_segmentor_opt_in_routes_inference(hovernet_prep):
         fused = seg.inference(variables, img)
         assert fused['sem'].shape == (2, 64, 64, 3)
         assert fused['hv'].shape == (2, 64, 64, 2)
-        # routed output == direct quantized executor (whole mode, 1 view)
-        direct = quant_hovernet.apply_hovernet_q(fp, seg._int8_fpq, img, dtype=seg.net.dtype)
+        # routed output == direct resident executor (whole mode, 1 view)
+        direct = quant_hovernet.apply_hovernet_q8(fp, seg._int8_fpq, img, dtype=seg.net.dtype)
         want = jax.nn.softmax(direct['sem'], axis=-1)
         np.testing.assert_allclose(np.asarray(fused['sem'], np.float32),
                                    np.asarray(want, np.float32), rtol=0, atol=1e-5)

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 from ..nn import pad_to_match
 from .fast_decode import _conv, _layer_folded, _max_pool_2x
-from .quant_decode import _qround, _wquant
+from .quant_decode import (_conv_i8, _deq_f32, _max_pool_2x_i8, _qround, _req, _tconv,
+                           _wquant)
 
 # VGG16-BN stage structure (backbones/vgg.py): convs per stage, pool
 # before stages 1..4, final stage-5 feature is pool-only.
@@ -161,6 +162,9 @@ def _run_cdnet(fp, img, fpq, scales_out, dtype=jnp.bfloat16):
     mask_f = ru(x, 'mask_feats')
     dir_f = ru(mask_f, 'dir_feats')
     point_f = ru(dir_f, 'point_feats')
+    if fpq is None and scales_out is not None:
+        # site for the resident executor's int8 point head (apply_cdnet_q8)
+        scales_out['point_conv'] = jnp.max(jnp.abs(point_f.astype(jnp.float32)))
 
     kp, bp = g['point_conv']
     point_logit = _conv(point_f, kp) + bp.astype(dtype)
@@ -199,11 +203,130 @@ def quantize_params(fp, act_maxes: Dict[str, Any], margin: float = 1.0):
     for nm in ('mask_feats', 'dir_feats', 'point_feats'):
         wq[f'{nm}.r1'] = _wquant(fp['dgm'][nm]['W1'])
         wq[f'{nm}.r2'] = _wquant(fp['dgm'][nm]['W2'])
+    # resident-only sites (apply_cdnet_q8): the RU identity shortcuts and
+    # the three head 1x1s run int8 there, each reading the SAME int8 copy
+    # its RU neighbour consumes — the act scale is an alias of that site's.
+    # Guarded on 'point_conv' so fpq trees from older calibrations still
+    # build (they then route through the dequant executor only).
+    if 'point_conv' in act:
+        for nm in ('mask_feats', 'dir_feats', 'point_feats'):
+            wq[f'{nm}.i'] = _wquant(fp['dgm'][nm]['Wi'])
+            act[f'{nm}.i'] = act[f'{nm}.r1']
+        wq['mask_conv'] = _wquant(fp['dgm']['mask_conv'][0])
+        act['mask_conv'] = act['dir_feats.r1']
+        wq['dir_conv'] = _wquant(fp['dgm']['dir_conv'][0])
+        act['dir_conv'] = act['point_feats.r1']
+        wq['point_conv'] = _wquant(fp['dgm']['point_conv'][0])
     return {'act': act, 'wq': wq}
 
 
 def apply_cdnet_q(fp, fpq, img, dtype=jnp.bfloat16):
     return _run_cdnet(fp, img, fpq, None, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# int8-RESIDENT executor: activations live in int8 BETWEEN convs
+# ---------------------------------------------------------------------------
+#
+# ``apply_cdnet_q`` dequantizes every conv output to bf16 and the next site
+# re-quantizes, so the activation chain still moves bf16 bytes through HBM —
+# and CDNet is HBM-bound (module docstring). Like quant_decode's
+# apply_fast_unet_q8, this executor folds dequant+bias+relu+REQUANT into each
+# conv's epilogue so the tensor materialized between convs is int8. Two CDNet-
+# specific moves on top of the UNet recipe:
+#
+# 1. VGG stage outputs have two consumers at different scales (next stage's
+#    first conv, and a decoder concat) — one int8 copy per consumer from the
+#    same epilogue fusion (write bytes = one bf16 copy; read bytes halve).
+# 2. The DGM's per-pixel attention gates commute with 1x1 convs
+#    (conv1x1(x * (1+a)) == conv1x1(x) * (1+a) + bias-fixup, because the gate
+#    broadcasts over channels), so each head 1x1 runs int8 on the SAME int8
+#    copy its RU neighbour reads and the gate multiplies the tiny logit tensor
+#    (1-9 channels) instead of the full-res 64-channel feature map. The RU
+#    identity 1x1s ride the r1 input copy the same way. Net effect: NO
+#    full-resolution bf16 tensor is materialized anywhere in the DGM.
+#
+# Quantization sites/scales are identical to apply_cdnet_q for every conv it
+# quantizes; the resident-only additions (identity + head 1x1s, sites aliased
+# in quantize_params) are new quantizations whose accuracy cost is covered by
+# the executor tests and the bench's held-out accuracy gate.
+
+
+def resident_ok(fpq) -> bool:
+    """True iff ``fpq`` carries the resident-only 1x1 sites (calibrations
+    recorded by this version of ``calibrate``)."""
+    return 'point_conv' in fpq['act'] and 'mask_conv' in fpq['wq']
+
+
+def apply_cdnet_q8(fp, fpq, img, dtype=jnp.bfloat16):
+    """Int8-resident CDNet forward: image -> {'sem','dir','point'} logits,
+    activations materialized as int8 between convs. Raises ValueError when
+    fpq lacks the resident 1x1 sites (callers fall back to apply_cdnet_q)."""
+    if not resident_ok(fpq):
+        raise ValueError('int8-resident CDNet executor requires the resident 1x1 '
+                         'sites; recalibrate with this version of quant_cdnet')
+    act, wq = fpq['act'], fpq['wq']
+
+    # backbone
+    xq = _qround(img, act['v0c0'])
+    feats_q: List[Any] = []
+    bottom = None
+    n_stages = len(fp['vgg'])
+    for s, stage in enumerate(fp['vgg']):
+        if s > 0:
+            xq = _max_pool_2x_i8(xq)
+        yf = None
+        for ci, (k, b) in enumerate(stage):
+            site = f'v{s}c{ci}'
+            yf = jax.nn.relu(_deq_f32(_conv_i8(xq, wq[site][0]), site, fpq, b))
+            if ci + 1 < len(stage):
+                xq = _req(yf, f'v{s}c{ci + 1}', fpq)
+        feats_q.append(_req(yf, f'd{s}c', fpq))
+        if s + 1 < n_stages:
+            xq = _req(yf, f'v{s + 1}c0', fpq)
+        else:  # bottom: max-pool commutes with symmetric quantization
+            bottom = _max_pool_2x_i8(_req(yf, 'd4t', fpq))
+
+    # decoder: tconv + concat conv, concat happens in int8 at the d{idx}c scale
+    xq = bottom
+    for idx in range(4, -1, -1):
+        st = fp['dec'][idx]
+        site_t = f'd{idx}t'
+        yt = _tconv(xq, wq[site_t][0], preferred_element_type=jnp.int32)
+        yf = jax.nn.relu(yt.astype(jnp.float32) * (act[site_t] * wq[site_t][1])
+                         + st['bt'].astype(jnp.float32))
+        site_c = f'd{idx}c'
+        yq = pad_to_match(_req(yf, site_c, fpq), feats_q[idx].shape[1:3])
+        cat = jnp.concatenate([yq, feats_q[idx]], axis=-1)
+        yf = jax.nn.relu(_deq_f32(_conv_i8(cat, wq[site_c][0]), site_c, fpq, st['bc']))
+        xq = _req(yf, f'd{idx - 1}t' if idx > 0 else 'mask_feats.r1', fpq)
+
+    # DGM
+    g = fp['dgm']
+
+    def ru_q8(inq, nm):
+        st = g[nm]
+        r = jax.nn.relu(_deq_f32(_conv_i8(inq, wq[f'{nm}.r1'][0]), f'{nm}.r1', fpq, st['b1']))
+        r2 = _deq_f32(_conv_i8(_req(r, f'{nm}.r2', fpq), wq[f'{nm}.r2'][0]),
+                      f'{nm}.r2', fpq, st['b2'])
+        ide = _deq_f32(_conv_i8(inq, wq[f'{nm}.i'][0]), f'{nm}.i', fpq, st['bi'])
+        return jax.nn.relu(r2 + ide)
+
+    mask_fq = _req(ru_q8(xq, 'mask_feats'), 'dir_feats.r1', fpq)
+    dir_fq = _req(ru_q8(mask_fq, 'dir_feats'), 'point_feats.r1', fpq)
+    point_fq = _req(ru_q8(dir_fq, 'point_feats'), 'point_conv', fpq)
+
+    # heads: gate-commutation rewrite (see module comment #2)
+    m0 = _deq_f32(_conv_i8(mask_fq, wq['mask_conv'][0]), 'mask_conv', fpq)
+    d0 = _deq_f32(_conv_i8(dir_fq, wq['dir_conv'][0]), 'dir_conv', fpq)
+    point_logit = _deq_f32(_conv_i8(point_fq, wq['point_conv'][0]), 'point_conv', fpq,
+                           g['point_conv'][1])
+    attn_p = jax.nn.sigmoid(_conv(point_logit.astype(dtype), g['point_to_dir_attn']))
+    dir_logit = d0 * (1.0 + attn_p.astype(jnp.float32)) + g['dir_conv'][1].astype(jnp.float32)
+    attn_d = jax.nn.sigmoid(_conv(dir_logit.astype(dtype), g['dir_to_mask_attn']))
+    mask_logit = m0 * (1.0 + attn_d.astype(jnp.float32)) + g['mask_conv'][1].astype(jnp.float32)
+    return {'sem': mask_logit.astype(dtype), 'dir': dir_logit.astype(dtype),
+            'point': point_logit.astype(dtype)}
 
 
 def apply_cdnet_bf16(fp, img, dtype=jnp.bfloat16):

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..nn import upsample_2x_nearest
 from .fast_decode import _conv, fold_conv_bn
-from .quant_decode import _qround, _wquant
+from .quant_decode import _conv_i8, _deq_f32, _qround, _req, _wquant
 
 # ResNet50 plan (backbones/resnet.py DEPTH_PLAN) and decoder layout
 # (segmentors/hovernet.py HoverDecoderBranch).
@@ -232,6 +232,79 @@ def quantize_params(fp, act_maxes: Dict[str, Any], margin: float = 1.0):
 
 def apply_hovernet_q(fp, fpq, img, dtype=jnp.bfloat16):
     return _run_hovernet(fp, img, fpq, None, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# backbone-RESIDENT int8 executor
+# ---------------------------------------------------------------------------
+#
+# HoverNet's HBM bytes are dominated by the stride-1 ResNetExt trunk (layer1
+# runs 256 channels at FULL resolution — tools/model_sol.py pins the model
+# mem-bound, SOL-mem 135 ms >> SOL-compute 62 ms at B=32). ``apply_hovernet_q``
+# dequantizes every conv output to bf16, so that traffic stays bf16-sized.
+# This executor keeps the BACKBONE's activations int8 between convs (requant
+# fused into each conv's epilogue):
+#
+# - within a bottleneck, c1/c2/c3 chain int8; the residual add runs in f32
+#   (two different dequant scales), then one requant feeds the next block;
+# - the block input's single int8 copy serves both c1 and the downsample conv
+#   (calibration records both sites from the same tensor, so their scales are
+#   numerically identical; the dequant uses the c1 scale explicitly);
+# - identity residuals read the dequantized int8 copy (q * s) instead of a
+#   bf16 original — the one numerics delta vs apply_hovernet_q, covered by
+#   the executor tests and the bench's held-out accuracy gate;
+# - stage outputs emit one copy per consumer: bf16 for the decoder branches
+#   (their adds/pre-act affines are float), and d3 emits int8 at the 'bot'
+#   scale since conv_bot is its only consumer.
+#
+# The decoder branches keep the dequant-style int8 path (per-channel pre-act
+# BN affines and upsample-adds pull tensors to float between convs anyway).
+# Sites/scales are IDENTICAL to apply_hovernet_q; no fpq changes needed.
+
+
+def _run_backbone_q8(fp, fpq, img):
+    relu = jax.nn.relu
+    act, wq = fpq['act'], fpq['wq']
+    y0 = _conv_i8(_qround(img, act['stem']), wq['stem'][0], padding=((3, 3), (3, 3)))
+    yf = relu(_deq_f32(y0, 'stem', fpq, fp['stem'][1]))
+    outs = []
+    n_stages = len(fp['blocks'])
+    for si, stage in enumerate(fp['blocks']):
+        for bi, blk in enumerate(stage):
+            strides = (2, 2) if (bi == 0 and si > 0) else (1, 1)
+            pre = f'l{si}b{bi}'
+            xq = _req(yf, f'{pre}c1', fpq)
+            y = relu(_deq_f32(_conv_i8(xq, wq[f'{pre}c1'][0]), f'{pre}c1', fpq, blk['c1'][1]))
+            y = relu(_deq_f32(_conv_i8(_req(y, f'{pre}c2', fpq), wq[f'{pre}c2'][0],
+                                       strides=strides, padding=((1, 1), (1, 1))),
+                              f'{pre}c2', fpq, blk['c2'][1]))
+            y = _deq_f32(_conv_i8(_req(y, f'{pre}c3', fpq), wq[f'{pre}c3'][0]),
+                         f'{pre}c3', fpq, blk['c3'][1])
+            if blk['down'] is None:
+                # identity residual: dequantize the same int8 copy c1 reads
+                res = xq.astype(jnp.float32) * act[f'{pre}c1']
+            else:
+                # down-conv rides xq too; dequant at the c1 input scale it
+                # was quantized with (== the recorded d scale, same tensor)
+                yd = _conv_i8(xq, wq[f'{pre}d'][0], strides=strides)
+                res = (yd.astype(jnp.float32) * (act[f'{pre}c1'] * wq[f'{pre}d'][1])
+                       + blk['down'][1].astype(jnp.float32))
+            yf = relu(y + res)
+        outs.append(yf)
+    return outs
+
+
+def apply_hovernet_q8(fp, fpq, img, dtype=jnp.bfloat16):
+    """Backbone-resident int8 forward: trunk activations stay int8 between
+    convs; decoder branches run the dequant-style int8 path."""
+    feats = _run_backbone_q8(fp, fpq, img)
+    # d3 -> conv_bot: quantize once from the f32 stage output (its only consumer)
+    yb = _conv_i8(_req(feats[3], 'bot', fpq), fpq['wq']['bot'][0])
+    d3 = _deq_f32(yb, 'bot', fpq).astype(dtype)
+    feats = (feats[0].astype(dtype), feats[1].astype(dtype), feats[2].astype(dtype), d3)
+    out = {nm: _run_branch(fp['branches'][nm], nm, feats, fpq, None, dtype)
+           for nm in _BRANCHES}
+    return {'sem': out['tp'], 'fore': out['np'], 'hv': out['hv']}
 
 
 def apply_hovernet_bf16(fp, img, dtype=jnp.bfloat16):

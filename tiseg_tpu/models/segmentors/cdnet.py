@@ -86,7 +86,11 @@ class CDNet(BaseSegmentor):
             prep = self.prepare_inference(variables)
         if prep is None:
             return super().forward_heads(variables, img, train=train, rng=rng, mutable=mutable)
-        from ..heads.quant_cdnet import apply_cdnet_q
+        from ..heads.quant_cdnet import apply_cdnet_q, apply_cdnet_q8, resident_ok
+        if resident_ok(prep['int8']):
+            # int8-RESIDENT executor: activations stay int8 between convs —
+            # CDNet is HBM-bound, so halving activation bytes is the lever
+            return apply_cdnet_q8(prep['fp'], prep['int8'], img, dtype=self.net.dtype)
         return apply_cdnet_q(prep['fp'], prep['int8'], img, dtype=self.net.dtype)
 
     def loss(self, variables, batch, train: bool = True, rng=None):

@@ -141,8 +141,10 @@ class HoverNet(BaseSegmentor):
             prep = self.prepare_inference(variables)
         if prep is None:
             return super().forward_heads(variables, img, train=train, rng=rng, mutable=mutable)
-        from ..heads.quant_hovernet import apply_hovernet_q
-        return apply_hovernet_q(prep['fp'], prep['int8'], img, dtype=self.net.dtype)
+        # backbone-resident executor: trunk activations stay int8 between
+        # convs — the stride-1 trunk is where HoverNet's HBM bytes live
+        from ..heads.quant_hovernet import apply_hovernet_q8
+        return apply_hovernet_q8(prep['fp'], prep['int8'], img, dtype=self.net.dtype)
 
     def loss(self, variables, batch, train: bool = True, rng=None):
         heads, new_state = self.forward_heads(variables, batch['data']['img'], train=True, rng=rng, mutable=True)
