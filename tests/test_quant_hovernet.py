@@ -57,8 +57,15 @@ def test_calibration_covers_every_quantized_site(hovernet_prep):
     fpq = quant_hovernet.quantize_params(fp, scales)
     assert set(fpq['wq']) <= set(fpq['act'])
     # stem + 16 bottlenecks x 3 + 4 downsamples + conv_bot
-    #  + 3 branches x (u3a + 8x2 dense + u3f + u2a + 4x2 dense + u2f + u1a)
-    assert len(fpq['wq']) == 1 + 48 + 4 + 1 + 3 * (1 + 16 + 1 + 1 + 8 + 1 + 1)
+    #  + 3 branches x (u3a + 8x2 dense + u3f + u2a + 4x2 dense + u2f + u1a + u0_cls)
+    assert len(fpq['wq']) == 1 + 48 + 4 + 1 + 3 * (1 + 16 + 1 + 1 + 8 + 1 + 1 + 1)
+    # resident-branch emission sites (act-only: concat segments + block inputs + u0)
+    for nm in ('tp', 'np', 'hv'):
+        for lvl, units in (('u3', 8), ('u2', 4)):
+            assert f'{nm}.{lvl}in' in fpq['act']
+            for u in range(units):
+                assert f'{nm}.{lvl}d{u}y' in fpq['act']
+        assert f'{nm}.u0' in fpq['act']
     for k, (wq, sw) in fpq['wq'].items():
         assert wq.dtype == jnp.int8, k
         assert sw.ndim == 1

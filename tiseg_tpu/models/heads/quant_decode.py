@@ -262,9 +262,10 @@ def apply_fast_unet_bf16(fp_vgg, fp_head, img, dtype=jnp.bfloat16):
 # pools run directly on int8.
 
 
-def _conv_i8(xq, Wq, strides=(1, 1), padding='SAME'):
+def _conv_i8(xq, Wq, strides=(1, 1), padding='SAME', groups: int = 1):
     return jax.lax.conv_general_dilated(xq, Wq, strides, padding,
                                         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                                        feature_group_count=groups,
                                         preferred_element_type=jnp.int32)
 
 

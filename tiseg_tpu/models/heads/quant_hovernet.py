@@ -151,6 +151,13 @@ def _run_backbone(fp, img, fpq, scales_out, dtype):
     return outs
 
 
+def _rec(scales_out, site: str, x):
+    """Record an int8 EMISSION site's abs-max during calibration (sites the
+    resident branch executor stores tensors at; no weight counterpart)."""
+    if scales_out is not None:
+        scales_out[site] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
 def _run_branch(fp_br, nm: str, feats, fpq, scales_out, dtype):
     relu = jax.nn.relu
 
@@ -165,19 +172,23 @@ def _run_branch(fp_br, nm: str, feats, fpq, scales_out, dtype):
             y = relu(affine(y, unit['bn2']))
             y = _cq(y, f'{nm}.{lvl}d{u}c2', unit['W2'], None, fpq, scales_out,
                     groups=4, dtype=dtype)
+            _rec(scales_out, f'{nm}.{lvl}d{u}y', y)
             x = jnp.concatenate([x, y], axis=-1)
         return relu(affine(x, fp_br[f'{lvl}_blk_bn']))
 
     d0, d1, d2, d3 = feats
     u3 = upsample_2x_nearest(d3) + d2
     u3 = _cq(u3, f'{nm}.u3a', fp_br['u3a'], None, fpq, scales_out, dtype=dtype)
+    _rec(scales_out, f'{nm}.u3in', u3)
     u3 = _cq(dense_block(u3, 'u3'), f'{nm}.u3f', fp_br['u3f'], None, fpq, scales_out, dtype=dtype)
     u2 = upsample_2x_nearest(u3) + d1
     u2 = _cq(u2, f'{nm}.u2a', fp_br['u2a'], None, fpq, scales_out, dtype=dtype)
+    _rec(scales_out, f'{nm}.u2in', u2)
     u2 = _cq(dense_block(u2, 'u2'), f'{nm}.u2f', fp_br['u2f'], None, fpq, scales_out, dtype=dtype)
     u1 = upsample_2x_nearest(u2) + d0
     u1 = _cq(u1, f'{nm}.u1a', fp_br['u1a'], None, fpq, scales_out, dtype=dtype)
     u0 = relu(affine(u1, fp_br['u0_bn']))
+    _rec(scales_out, f'{nm}.u0', u0)
     # stays float: logits feed argmax/watershed. f32 like the flax module
     # (u0_cls has no dtype arg -> float32 output contract, hovernet.py:82).
     Wk, bk = fp_br['u0_cls']
@@ -227,6 +238,7 @@ def quantize_params(fp, act_maxes: Dict[str, Any], margin: float = 1.0):
                 wq[f'{nm}.{lvl}d{u}c2'] = _wquant(unit['W2'])
             wq[f'{nm}.{lvl}f'] = _wquant(br[f'{lvl}f'])
         wq[f'{nm}.u1a'] = _wquant(br['u1a'])
+        wq[f'{nm}.u0'] = _wquant(br['u0_cls'][0])
     return {'act': act, 'wq': wq}
 
 
@@ -294,15 +306,88 @@ def _run_backbone_q8(fp, fpq, img):
     return outs
 
 
+# ---------------------------------------------------------------------------
+# decoder-branch-RESIDENT int8 executor
+# ---------------------------------------------------------------------------
+#
+# The dense blocks are the branch's byte mass: every unit's pre-act BN reads
+# the FULL growing concat tensor, and the dequant-style path stores that
+# concat in bf16. Key observation: channel concatenation PRESERVES per-channel
+# quantization scales, so the concat can be materialized int8 with a STATIC
+# per-channel scale vector assembled from per-site scalars — the block input
+# segment at `{nm}.{lvl}in` and each unit's conv2 output at `{nm}.{lvl}d{u}y`.
+# The pre-act BN affine then folds the scale vector per channel
+# (relu(a_c*(s_c*q_c) + b_c)), so each unit is: one int8->int8 fused
+# elementwise pass + two int8 convs. Also quantized here: the final full-res
+# ``u0_cls`` 1x1 head (site `{nm}.u0`) — its f32 input read at 256^2 was the
+# other float tensor the dequant path materialized per branch (logits still
+# come out f32, the flax contract; accuracy rides the same held-out gate).
+# Extra roundings vs apply_hovernet_q: the concat segments and the u0_cls
+# input pass through int8 once each — covered by the executor-agreement
+# tests and the bench accuracy gate.
+
+
+def _run_branch_q8(fp_br, nm: str, feats, fpq):
+    relu = jax.nn.relu
+    act, wq = fpq['act'], fpq['wq']
+
+    def f32(t):
+        return t.astype(jnp.float32)
+
+    def emit_i8(y_i32, conv_site: str, out_scale):
+        # int32 conv accumulator -> int8 at the emission site's scale, in one
+        # fused epilogue (per-out-channel weight scales fold into the ratio)
+        s = act[conv_site] * wq[conv_site][1]
+        q = jnp.round(f32(y_i32) * (s / out_scale))
+        return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+    def dense_block(x8, sv, lvl: str):
+        for u, unit in enumerate(fp_br[f'{lvl}d']):
+            site1, site2 = f'{nm}.{lvl}d{u}c1', f'{nm}.{lvl}d{u}c2'
+            a1, c1 = unit['bn1']
+            z = relu(f32(x8) * (sv * f32(a1)) + f32(c1))
+            y = _conv_i8(_qround(z, act[site1]), wq[site1][0])
+            a2, c2 = unit['bn2']
+            z = relu(_deq_f32(y, site1, fpq) * f32(a2) + f32(c2))
+            y = _conv_i8(_qround(z, act[site2]), wq[site2][0], groups=4)
+            s_y = act[f'{nm}.{lvl}d{u}y']
+            x8 = jnp.concatenate([x8, emit_i8(y, site2, s_y)], axis=-1)
+            sv = jnp.concatenate([sv, jnp.broadcast_to(s_y, (y.shape[-1],))])
+        ab, cb = fp_br[f'{lvl}_blk_bn']
+        return relu(f32(x8) * (sv * f32(ab)) + f32(cb))
+
+    def level(x_f, lvl: str):
+        sa, s_in = f'{nm}.{lvl}a', act[f'{nm}.{lvl}in']
+        x8 = emit_i8(_conv_i8(_qround(x_f, act[sa]), wq[sa][0]), sa, s_in)
+        sv = jnp.broadcast_to(s_in, (x8.shape[-1],))
+        xf = dense_block(x8, sv, lvl)
+        sf = f'{nm}.{lvl}f'
+        return _deq_f32(_conv_i8(_qround(xf, act[sf]), wq[sf][0]), sf, fpq)
+
+    d0, d1, d2, d3 = feats
+    u3 = level(f32(upsample_2x_nearest(d3)) + f32(d2), 'u3')
+    u2 = level(upsample_2x_nearest(u3) + f32(d1), 'u2')
+    s1 = f'{nm}.u1a'
+    u1 = _deq_f32(_conv_i8(_qround(upsample_2x_nearest(u2) + f32(d0), act[s1]),
+                           wq[s1][0]), s1, fpq)
+    a0, c0 = fp_br['u0_bn']
+    u0 = relu(u1 * f32(a0) + f32(c0))
+    s0 = f'{nm}.u0'
+    bk = fp_br['u0_cls'][1]  # kernel rides wq[f'{nm}.u0']; bias in the f32 epilogue
+    return _deq_f32(_conv_i8(_qround(u0, act[s0]), wq[s0][0]), s0, fpq, bk)
+
+
 def apply_hovernet_q8(fp, fpq, img, dtype=jnp.bfloat16):
-    """Backbone-resident int8 forward: trunk activations stay int8 between
-    convs; decoder branches run the dequant-style int8 path."""
+    """Fully-resident int8 forward: trunk activations stay int8 between convs
+    (_run_backbone_q8) AND the decoder dense-concat tensors stay int8 with
+    per-channel scale vectors (_run_branch_q8); u0_cls runs int8 too."""
     feats = _run_backbone_q8(fp, fpq, img)
     # d3 -> conv_bot: quantize once from the f32 stage output (its only consumer)
     yb = _conv_i8(_req(feats[3], 'bot', fpq), fpq['wq']['bot'][0])
     d3 = _deq_f32(yb, 'bot', fpq).astype(dtype)
+    # skips materialize once in bf16; each branch upcasts in fused elementwise
     feats = (feats[0].astype(dtype), feats[1].astype(dtype), feats[2].astype(dtype), d3)
-    out = {nm: _run_branch(fp['branches'][nm], nm, feats, fpq, None, dtype)
+    out = {nm: _run_branch_q8(fp['branches'][nm], nm, feats, fpq)
            for nm in _BRANCHES}
     return {'sem': out['tp'], 'fore': out['np'], 'hv': out['hv']}
 
