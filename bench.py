@@ -27,6 +27,16 @@ the selected path is always visible. BENCH_INT8_E2E=0 forces bf16,
 
 Target (BASELINE.md): >= 5,000 patches/sec/chip net+post-proc on v5e.
 Prints ONE JSON line (last line): {"metric", "value", "unit", "vs_baseline"}.
+
+Budget robustness (VERDICT r3 item 1 — the round-3 driver bench timed
+out): the default path loads the committed `bench_fixture.npz` (briefly-
+trained weights + int8 tree + recorded held-out gate verdict, built by
+`python bench.py --make-fixture`), so a cold run costs device init + ONE
+fused-program compile + 3 timed reps. A BENCH_DEADLINE watchdog (default
+420 s, '0' disables) emits the best metric measured so far rather than
+letting the driver record a timeout; the persistent compile cache lives
+in the repo (.jax_cache/, survives /tmp cleanups). BENCH_FIXTURE=0
+forces the legacy build-everything-in-process path.
 """
 import json
 import os
@@ -34,9 +44,59 @@ import sys
 import time
 from functools import partial
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 BASELINE_PATCHES_PER_SEC = 5000.0
+
+# In-repo bench fixture: the briefly-trained flagship weights + the int8
+# parameter tree + the held-out accuracy-gate decision, precomputed by
+# `python bench.py --make-fixture` and committed. The driver bench then
+# runs load -> ONE fused-program compile -> measure, so a cold compile
+# cache costs ~1 program compile instead of the whole train/calibrate/gate
+# pipeline (BENCH_r03 timed out exactly there — VERDICT r3 item 1).
+FIXTURE_PATH = os.path.join(REPO, 'bench_fixture.npz')
+
+# Best metric measured so far; the deadline watchdog emits it if the run
+# would otherwise overshoot the driver budget and record nothing.
+_BEST = {}
+
+
+def _arm_watchdog():
+    """Emit the best-so-far metric and exit when BENCH_DEADLINE (seconds,
+    default 420, '0' disables) elapses. A partial-but-real number always
+    beats the rc=124/nothing the driver records on a timeout; if nothing
+    was measured yet there is nothing honest to print and we exit 4."""
+    import threading
+    spec = os.environ.get('BENCH_DEADLINE', '420')
+    if spec == '0':
+        return
+    deadline = float(spec)
+
+    def _fire():
+        time.sleep(deadline)
+        if _BEST:
+            print(json.dumps(_BEST), flush=True)
+            print('bench.py: BENCH_DEADLINE %.0fs hit — emitted best-so-far metric'
+                  % deadline, file=sys.stderr, flush=True)
+            os._exit(0)
+        print('bench.py: BENCH_DEADLINE %.0fs hit with no metric measured — '
+              'nothing to emit' % deadline, file=sys.stderr, flush=True)
+        os._exit(4)
+
+    threading.Thread(target=_fire, daemon=True).start()
+
+
+def _setup_cache():
+    """Persistent XLA compile cache in a repo-local dir (survives /tmp
+    cleanups between sessions; the driver runs bench.py from the repo)."""
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ.get('JAX_CACHE_DIR', os.path.join(REPO, '.jax_cache')))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
 
 
 def require_device(timeout_s=None):
@@ -210,34 +270,106 @@ def _int8_accuracy_gate(seg, variables, tol_pts=0.5, n=16, seed0=200):
     return ok, detail
 
 
-def main():
+def _flatten_tree(tree, prefix):
+    from flax.traverse_util import flatten_dict
+    return {prefix + '/' + '/'.join(k): v for k, v in flatten_dict(tree).items()}
+
+
+def _unflatten_keys(d):
+    from flax.traverse_util import unflatten_dict
+    return unflatten_dict({tuple(k.split('/')): v for k, v in d.items()})
+
+
+def save_bench_fixture(path=FIXTURE_PATH):
+    """Build and save the headline-bench fixture: train the flagship UNet
+    briefly on the synthetic-nuclei workload, round the weights through the
+    f16 storage format, calibrate the int8 tree and run the held-out
+    accuracy gate ON THE ROUNDED WEIGHTS (so the shipped bytes are exactly
+    what was gated), then save params/batch_stats/int8 tree/gate verdict."""
     import jax
-    # persistent compilation cache: repeat bench runs skip the (slow,
-    # remote) XLA compile entirely
-    try:
-        jax.config.update('jax_compilation_cache_dir', os.environ.get('JAX_CACHE_DIR', '/tmp/tiseg_jax_cache'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:
-        pass
+    import numpy as np
+
+    import jax.numpy as jnp
+    from tiseg_tpu.models import build_segmentor
+    test_cfg = dict(mode='whole', device_postprocess=True, radius=1)
+    seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=test_cfg),
+                          dtype=jnp.bfloat16)
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
+    variables = train_briefly(seg, variables)
+    # round params through the f16 storage dtype BEFORE gating
+    params = jax.tree.map(lambda x: np.asarray(x).astype(np.float16).astype(np.float32),
+                          jax.device_get(variables['params']))
+    batch_stats = jax.device_get(variables['batch_stats'])
+    variables = {'params': jax.device_put(params), 'batch_stats': jax.device_put(batch_stats)}
+
+    B = int(os.environ.get('BENCH_BATCH', 128))
+    uniq = np.stack([make_bench_nuclei(i)[0] for i in range(16)])
+    img_r = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
+    fpq = seg.calibrate_int8(variables, img_r)
+    int8_ok, gate = _int8_accuracy_gate(seg, variables)
+    seg.test_cfg['int8_eval'] = False
+
+    arrays = {}
+    arrays.update({k: np.asarray(v).astype(np.float16)
+                   for k, v in _flatten_tree(params, 'p').items()})
+    arrays.update({k: np.asarray(v) for k, v in _flatten_tree(batch_stats, 'bs').items()})
+    fpq = jax.device_get(fpq)
+    arrays.update({f'act/{k}': np.asarray(v, np.float32) for k, v in fpq['act'].items()})
+    for k, (q, s) in fpq['wq'].items():
+        arrays[f'wq/{k}'] = np.asarray(q)
+        arrays[f'ws/{k}'] = np.asarray(s, np.float32)
+    meta = {'version': 1, 'model': 'UNet', 'int8_selected': bool(int8_ok), 'gate': gate}
+    np.savez(path, __meta__=json.dumps(meta), **arrays)
+    print(json.dumps({'fixture': path, 'bytes': os.path.getsize(path), **meta}),
+          file=sys.stderr, flush=True)
+    return path
+
+
+def load_bench_fixture(path=FIXTURE_PATH):
+    """Load the committed bench fixture -> (variables, fpq, meta dict).
+    Arrays go to device in one put per tree; params are f16-on-disk,
+    f32 in memory (the exact values the fixture's gate scored)."""
+    import jax
+    import numpy as np
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z['__meta__']))
+    p, bs, act, wq, ws = {}, {}, {}, {}, {}
+    for k in z.files:
+        if k.startswith('p/'):
+            p[k[2:]] = z[k].astype(np.float32)
+        elif k.startswith('bs/'):
+            bs[k[3:]] = z[k]
+        elif k.startswith('act/'):
+            act[k[4:]] = z[k]
+        elif k.startswith('wq/'):
+            wq[k[3:]] = z[k]
+        elif k.startswith('ws/'):
+            ws[k[3:]] = z[k]
+    variables = jax.device_put({'params': _unflatten_keys(p), 'batch_stats': _unflatten_keys(bs)})
+    fpq = jax.device_put({'act': act, 'wq': {k: (wq[k], ws[k]) for k in wq}})
+    return variables, fpq, meta
+
+
+def main():
+    _setup_cache()
+    import jax
     import jax.numpy as jnp
     import numpy as np
     from tiseg_tpu.models import build_segmentor
-    from tiseg_tpu.ops.pallas_sweep import instance_postprocess_sweep
 
     # shipped post-proc defaults (pp_sweeps 16 / pp_fill_sweeps 32: exact on
     # all 16 trained-net planes vs the host oracle, and only -0.6% vs the
     # truncated sweeps=8 setting — the sweep loops exit at their fixpoint)
     test_cfg = dict(mode='whole', device_postprocess=True, radius=1)
-    # '0' forces bf16, '1' forces int8 (no gate), unset/'auto' lets the
-    # held-out accuracy gate select the path (docstring above)
+    # '0' forces bf16, '1' forces int8 (no gate), unset/'auto' uses the
+    # held-out accuracy-gate verdict (fixture-recorded, or run live on the
+    # legacy no-fixture path — docstring above)
     int8_mode = os.environ.get('BENCH_INT8_E2E', 'auto')
     int8_e2e = int8_mode == '1'
     if os.environ.get('BENCH_PP_SWEEPS'):
         test_cfg['pp_sweeps'] = int(os.environ['BENCH_PP_SWEEPS'])
     seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=test_cfg),
                           dtype=jnp.bfloat16)
-    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
-    variables = train_briefly(seg, variables)
 
     # B=128 measured best on v5e-1: net 2785 p/s vs 2526 (B=64) / 2825 (B=256,
     # 2x memory for +1.4%) — larger batches amortize the decoder's layout copies
@@ -245,13 +377,32 @@ def main():
     ITERS = int(os.environ.get('BENCH_ITERS', 16))
     include_postproc = os.environ.get('BENCH_POSTPROC', '1') == '1'
 
+    use_fixture = (os.environ.get('BENCH_FIXTURE', '1') == '1' and os.path.exists(FIXTURE_PATH))
+    if use_fixture:
+        # fast driver path: load committed weights + int8 tree + recorded
+        # gate verdict; ONE fused-program compile stands between here and
+        # the metric line
+        variables, fpq, meta = load_bench_fixture()
+        seg._int8_fpq = fpq
+        if int8_mode == '0':
+            int8_e2e = False
+        elif int8_mode != '1':
+            int8_e2e = bool(meta['int8_selected'])
+            print(json.dumps({'int8_gate_pass': int8_e2e, 'fixture': True, **meta['gate']}),
+                  file=sys.stderr, flush=True)
+        seg.test_cfg['int8_eval'] = int8_e2e
+    else:
+        variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
+        variables = train_briefly(seg, variables)
+
     # representative workload: dense nuclei through the briefly-trained net
-    # (also the int8 calibration batch — calibrate BEFORE stage 1 so the
-    # '_int8' metric suffix is truthful even with BENCH_POSTPROC=0)
+    # (also the int8 calibration batch on the legacy path — calibrate BEFORE
+    # stage 1 so the '_int8' metric suffix is truthful even with
+    # BENCH_POSTPROC=0)
     uniq = np.stack([make_bench_nuclei(i)[0] for i in range(16)])
     img_r = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
     jax.block_until_ready(img_r)
-    if int8_mode != '0':
+    if not use_fixture and int8_mode != '0':
         seg.calibrate_int8(variables, img_r)
         if int8_mode == '1':
             seg.test_cfg['int8_eval'] = True
@@ -266,46 +417,40 @@ def main():
     def trivial(x):
         return jnp.float32(x[0, 0, 0, 0])
 
-    img = jnp.zeros((B, 256, 256, 3), jnp.float32)
-    float(trivial(img))
+    float(trivial(img_r))
     lat = []
     for _ in range(5):
         t0 = time.perf_counter()
-        float(trivial(img))
+        float(trivial(img_r))
         lat.append(time.perf_counter() - t0)
     rpc_latency = sorted(lat)[len(lat) // 2]
 
-    # ---- stage 1: network forward + argmax (chained, immune to pipelining)
-    def _net_chain(variables, img):
-        prep = seg.prepare_inference(variables)  # fold weights once, outside the loop
+    metric = (('unet_256x256_fused_e2e_throughput' if include_postproc
+               else 'unet_256x256_infer_throughput') + ('_int8' if int8_e2e else ''))
 
-        def body(i, carry):
-            logits = seg.forward_heads(variables, img + carry * 1e-12, prep=prep)['sem']
-            return jnp.mean(jnp.argmax(logits, axis=-1).astype(jnp.float32))
+    def _measure(chain, *args):
+        """Compile + 3 timed reps; every rep updates the watchdog's
+        best-so-far so a deadline mid-run still emits a real number."""
+        float(chain(*args))  # compile
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(*args))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            rate = B * ITERS / max(best - rpc_latency, 1e-9)
+            _BEST.update({'metric': metric, 'value': round(rate, 1),
+                          'unit': 'patches/sec/chip',
+                          'vs_baseline': round(rate / BASELINE_PATCHES_PER_SEC, 3)})
+        return B * ITERS / max(best - rpc_latency, 1e-9)
 
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
-
-    net_chain = jit_tuned(_net_chain, variables, img)
-    float(net_chain(variables, img))  # compile
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(net_chain(variables, img))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    net_rate = B * ITERS / max(best - rpc_latency, 1e-9)
-
-    total_rate = net_rate
     if include_postproc:
         # ---- fused single-program e2e: inference + device post-proc in ONE
         # jit (the artifact users actually run), on the representative
-        # workload (dense nuclei through the briefly-trained net). This
-        # replaces the round-1/2 two-stage harmonic composition; on this
-        # workload the fused program reaches the composition rate (2,468 vs
-        # 2,464 composed, v5e-1 B=128) — the earlier fused deficit (2,023 /
-        # 2,281) was unrepresentative input making the post-processor
-        # pathological, not a fusion loss (optimization barriers measured
-        # neutral): docs/ROUND3.md "headline reconciliation".
+        # workload (dense nuclei through the briefly-trained net). On this
+        # workload the fused program reaches the two-stage composition rate
+        # (2,468 vs 2,464 composed, v5e-1 B=128) — docs/ROUND3.md
+        # "headline reconciliation".
         def _fused_chain(variables, im):
             def body(i, carry):
                 out = seg.inference_and_postprocess(variables, im + carry * 1e-12)
@@ -313,19 +458,22 @@ def main():
 
             return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
-        fused_chain = jit_tuned(_fused_chain, variables, img_r)
-        float(fused_chain(variables, img_r))  # compile
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(fused_chain(variables, img_r))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        total_rate = B * ITERS / max(best - rpc_latency, 1e-9)
+        total_rate = _measure(jit_tuned(_fused_chain, variables, img_r), variables, img_r)
+    else:
+        # network forward + argmax only (chained, immune to pipelining)
+        def _net_chain(variables, img):
+            prep = seg.prepare_inference(variables)  # fold weights once, outside the loop
+
+            def body(i, carry):
+                logits = seg.forward_heads(variables, img + carry * 1e-12, prep=prep)['sem']
+                return jnp.mean(jnp.argmax(logits, axis=-1).astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        total_rate = _measure(jit_tuned(_net_chain, variables, img_r), variables, img_r)
 
     print(json.dumps({
-        'metric': (('unet_256x256_fused_e2e_throughput' if include_postproc
-                    else 'unet_256x256_infer_throughput') + ('_int8' if int8_e2e else '')),
+        'metric': metric,
         'value': round(total_rate, 1),
         'unit': 'patches/sec/chip',
         'vs_baseline': round(total_rate / BASELINE_PATCHES_PER_SEC, 3),
@@ -574,12 +722,8 @@ def bench_int8(B: int = 0, iters: int = 16, hw: int = 256):
     plus the argmax disagreement the 8-bit rounding costs on the
     representative workload. Gates whether the int8 path is worth wiring
     into the fused e2e program (v5e int8 MXU peak is 2x bf16)."""
+    _setup_cache()
     import jax
-    try:
-        jax.config.update('jax_compilation_cache_dir', '/tmp/tiseg_jax_cache')
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
     import numpy as np
     from tiseg_tpu.models import build_segmentor
@@ -671,6 +815,12 @@ def bench_int8(B: int = 0, iters: int = 16, hw: int = 256):
 
 
 if __name__ == '__main__':
+    if '--make-fixture' in sys.argv:
+        require_device()
+        _setup_cache()
+        save_bench_fixture()
+        sys.exit(0)
+    _arm_watchdog()
     require_device()
     models = os.environ.get('BENCH_MODELS', '')
     if os.environ.get('BENCH_INT8', ''):

@@ -17,6 +17,7 @@ also provide an on-device post-processing path (tiseg_tpu.ops).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -56,7 +57,10 @@ class BaseSegmentor:
     # -- init ---------------------------------------------------------------
     def init_variables(self, rng, hw=(256, 256), in_channels: int = 3):
         dummy = jnp.zeros((1, hw[0], hw[1], in_channels), jnp.float32)
-        variables = self.net.init(rng, dummy, train=False)
+        # jit: flax's eager init dispatches each op individually over the
+        # device link (minutes on a high-latency TPU tunnel); one compiled
+        # program makes init a single round-trip.
+        variables = jax.jit(partial(self.net.init, train=False))(rng, dummy)
         return variables
 
     # -- forward ------------------------------------------------------------

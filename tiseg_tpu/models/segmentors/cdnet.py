@@ -69,14 +69,19 @@ class CDNet(BaseSegmentor):
 
     def calibrate_int8(self, variables, calib_img):
         """One-batch abs-max calibration + weight quantization for the int8
-        eval path (same contract as UNet.calibrate_int8)."""
+        eval path (same contract as UNet.calibrate_int8). Runs as ONE jit
+        program with the variables as arguments — see UNet.calibrate_int8
+        for why (remote-link round-trips, compile-cache keys)."""
         import jax
 
         from ..heads.quant_cdnet import build_cdnet_fp, calibrate, quantize_params
         dtype = self.net.dtype
-        fp = build_cdnet_fp(variables['params'], variables['batch_stats'], dtype=dtype)
-        scales = jax.jit(lambda im: calibrate(fp, im, dtype=dtype))(calib_img)
-        self._int8_fpq = quantize_params(fp, jax.device_get(scales))
+
+        def _calib(v, im):
+            fp = build_cdnet_fp(v['params'], v['batch_stats'], dtype=dtype)
+            return quantize_params(fp, calibrate(fp, im, dtype=dtype))
+
+        self._int8_fpq = jax.jit(_calib)(variables, calib_img)
         return self._int8_fpq
 
     def forward_heads(self, variables, img, train: bool = False, rng=None, mutable=False, prep=None):

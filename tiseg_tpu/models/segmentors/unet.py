@@ -89,21 +89,31 @@ class FastVGGUNetEval:
             prep['int8'] = self._int8_fpq
         return prep
 
-    def calibrate_int8(self, variables, calib_img):
+    def calibrate_int8(self, variables, calib_img, margin: float = 1.0):
         """One-batch abs-max calibration + weight quantization for the int8
-        eval path. Call once (eagerly) with a representative image batch;
-        subsequent jitted eval programs pick the quantized route up via
-        ``test_cfg['int8_eval']``."""
+        eval path. Call once with a representative image batch; subsequent
+        jitted eval programs pick the quantized route up via
+        ``test_cfg['int8_eval']``.
+
+        BN-fold + calibration forward + weight quantization run as ONE jit
+        program with the variables as arguments (not closure constants):
+        eager per-tensor quantization ops each cost a device round-trip on
+        a remote-TPU link, and closure-captured weights bake into the HLO
+        as constants, defeating the persistent compile cache."""
         import jax
 
         from ..heads.quant_decode import calibrate, quantize_params
         self._int8_fpq = None
-        prep = self.prepare_inference(variables)
-        if prep is None:
+        if not self._fast_eval_enabled():
             raise ValueError('int8 eval requires the fast eval path (fast_eval=True)')
         dtype = self.net.dtype
-        scales = jax.jit(lambda im: calibrate(prep['vgg'], prep['head'], im, dtype=dtype))(calib_img)
-        self._int8_fpq = quantize_params(prep['vgg'], prep['head'], jax.device_get(scales))
+
+        def _calib(v, im):
+            prep = self.prepare_inference(v)
+            scales = calibrate(prep['vgg'], prep['head'], im, dtype=dtype)
+            return quantize_params(prep['vgg'], prep['head'], scales, margin=margin)
+
+        self._int8_fpq = jax.jit(_calib)(variables, calib_img)
         return self._int8_fpq
 
     def forward_heads(self, variables, img, train: bool = False, rng=None, mutable=False, prep=None):
