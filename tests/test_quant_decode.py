@@ -153,3 +153,35 @@ def test_int8_e2e_wiring():
     assert agree_conf > 0.995, agree_conf
     same = np.asarray(base['sem_pred']) == np.asarray(quant['sem_pred'])
     assert float(same.mean()) > 0.9
+
+
+def test_q8_pred_plane_matches_logits_argmax(unet_prep):
+    """out='pred' (argmax in the phase layout, logits never at full res)
+    is BIT-identical to argmax(d2s(logits)) — same arithmetic up to the
+    argmax, which commutes with the d2s permutation."""
+    seg, prep, img = unet_prep
+    dtype = seg.net.dtype
+    scales = jax.jit(lambda im: quant_decode.calibrate(prep['vgg'], prep['head'], im,
+                                                       dtype=dtype))(img)
+    fpq = quant_decode.quantize_params(prep['vgg'], prep['head'], jax.device_get(scales))
+    logits = jax.jit(lambda im: quant_decode.apply_fast_unet_q8(
+        prep['vgg'], prep['head'], fpq, im, dtype=dtype))(img)
+    pred = jax.jit(lambda im: quant_decode.apply_fast_unet_q8(
+        prep['vgg'], prep['head'], fpq, im, dtype=dtype, out='pred'))(img)
+    assert pred.shape == img.shape[:3] and pred.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(logits).argmax(-1))
+
+
+def test_alias_pairs_share_one_scale(unet_prep):
+    """Dual-consumer emissions (stage output -> decoder skip + next-stage
+    pool) are pinned to ONE scale so the resident executor materializes a
+    single int8 copy."""
+    seg, prep, img = unet_prep
+    dtype = seg.net.dtype
+    scales = jax.jit(lambda im: quant_decode.calibrate(prep['vgg'], prep['head'], im,
+                                                       dtype=dtype))(img)
+    fpq = quant_decode.quantize_params(prep['vgg'], prep['head'], jax.device_get(scales))
+    pairs = quant_decode._alias_pairs(fpq['act'])
+    assert ('dec0.cs_phase', 's1c0') in pairs
+    for a, b in pairs:
+        assert float(fpq['act'][a]) == float(fpq['act'][b])

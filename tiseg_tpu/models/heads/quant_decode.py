@@ -51,6 +51,21 @@ def _qround(x, scale):
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
+def _alias_pairs(act: Dict[str, Any]):
+    """(skip_site, next_consumer_site) pairs quantizing the SAME tensor:
+    dec0.cs_phase/s1c0 (stage0 phase output), dec{i}.cs_std/s{i+1}c0
+    (early VGG stage outputs). Only pairs present in ``act`` are returned."""
+    pairs = []
+    if 'dec0.cs_phase' in act and 's1c0' in act:
+        pairs.append(('dec0.cs_phase', 's1c0'))
+    i = 1
+    while f'dec{i}.cs_std' in act:
+        if f's{i + 1}c0' in act:
+            pairs.append((f'dec{i}.cs_std', f's{i + 1}c0'))
+        i += 1
+    return pairs
+
+
 def _wquant(W) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-output-channel symmetric int8 weights: (W_q, s_w[F])."""
     Wf = W.astype(jnp.float32)
@@ -201,9 +216,21 @@ def calibrate(fp_vgg, fp_head, img, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray
 
 def quantize_params(fp_vgg, fp_head, act_maxes: Dict[str, Any], margin: float = 1.0):
     """Build the int8 parameter tree: per-channel int8 weights + per-site
-    activation scales (abs-max / 127, widened by ``margin``)."""
+    activation scales (abs-max / 127, widened by ``margin``).
+
+    Dual-consumer sites are ALIASED to one scale: a phase/early VGG stage
+    output feeds both its decoder skip conv (dec{i}.cs_*) and — max-pooled —
+    the next VGG stage (s{i+1}c0). Max-pooling a post-relu tensor preserves
+    its abs-max, so the two recorded maxes are equal in exact arithmetic;
+    pinning both sites to their maximum makes the two int8 quantizations of
+    the tensor IDENTICAL, so the resident executor materializes one int8
+    copy instead of two (docs/ROUND4.md, single-emission)."""
     act = {k: jnp.maximum(jnp.asarray(v, jnp.float32) * margin, 1e-12) / 127.0
            for k, v in act_maxes.items()}
+    for skip_site, next_site in _alias_pairs(act):
+        shared = jnp.maximum(act[skip_site], act[next_site])
+        act[skip_site] = shared
+        act[next_site] = shared
     wq: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
     wq['W0'] = _wquant(fp_vgg['W0'])
     wq['W1'] = _wquant(fp_vgg['W1'])
@@ -312,8 +339,12 @@ def _run_vgg_q8(fp, fpq, img, k_phase: int, dtype=jnp.bfloat16):
     z0q = _req(jax.nn.relu(_deq_f32(y0, 'W0', fpq, fp['b0'])), 'W1', fpq)
     y1 = _conv_i8(z0q, fpq['wq']['W1'][0], padding=((1, 1), (1, 1)))
     z1f = _mask_edges_flat(jax.nn.relu(_deq_f32(y1, 'W1', fpq, fp['b1'])), C0)
-    outs: List[Any] = [PhaseSkip(_req(z1f, 'dec0.cs_phase', fpq), C0)]
-    xq = _pool_from_offm1(_req(z1f, 's1c0', fpq), C0)
+    # single emission: the s1c0 scale is aliased to dec0.cs_phase
+    # (quantize_params._alias_pairs), so ONE int8 copy serves both the
+    # decoder skip and the pool into stage 1
+    z1q = _req(z1f, 's1c0', fpq)
+    outs: List[Any] = [PhaseSkip(z1q, C0)]
+    xq = _pool_from_offm1(z1q, C0)
     n_stages = len(fp['stages'])
     plain_q = _plain_sites_ok(fpq, k_phase, n_stages + 1)
     for s, convs in enumerate(fp['stages'], start=1):
@@ -325,22 +356,27 @@ def _run_vgg_q8(fp, fpq, img, k_phase: int, dtype=jnp.bfloat16):
             yf = jax.nn.relu(_deq_f32(_conv_i8(xq, fpq['wq'][site][0]), site, fpq, b))
             if ci + 1 < len(convs):
                 xq = _req(yf, f's{s}c{ci + 1}', fpq)
-        if s <= k_phase:
-            outs.append(_req(yf, f'dec{s}.cs_std', fpq))
-        elif plain_q:  # plain decoder skip, consumed in int8
-            outs.append(_req(yf, f'dec{s}.pc', fpq))
-        else:
-            outs.append(yf.astype(dtype))
         if s < n_stages:
             xq = _req(yf, f's{s + 1}c0', fpq)
+            if s <= k_phase or plain_q:
+                # one int8 copy: phase skips read it at the aliased
+                # dec{s}.cs_std scale; plain-stage skips at their own
+                # s{s+1}c0 scale via the split concat conv (_run_head_q8)
+                outs.append(xq)
+            else:
+                outs.append(yf.astype(dtype))
         elif plain_q:  # bottom: pool commutes with symmetric quant
-            outs.append(_max_pool_2x_i8(_req(yf, f'dec{n_stages}.pt', fpq)))
+            q = _req(yf, f'dec{n_stages}.pt', fpq)
+            outs.append(q)
+            outs.append(_max_pool_2x_i8(q))
         else:
+            outs.append(yf.astype(dtype))
             outs.append(_max_pool_2x(yf.astype(dtype)))
     return outs
 
 
-def _run_head_q8(fp, bottom, skips, fpq, k_phase: int, dtype=jnp.bfloat16):
+def _run_head_q8(fp, bottom, skips, fpq, k_phase: int, dtype=jnp.bfloat16,
+                 out: str = 'logits'):
     stages = fp['stages']
     n = len(stages)
     from .fast_decode import _apply_stage_plain
@@ -361,11 +397,25 @@ def _run_head_q8(fp, bottom, skips, fpq, k_phase: int, dtype=jnp.bfloat16):
         yf = jax.nn.relu(yt.astype(jnp.float32) * (fpq['act'][site_t] * s_wt)
                          + st['bt'].astype(jnp.float32))
         site_c = f'dec{i}.pc'
+        s_c = fpq['act'][site_c]
+        Wq_c, s_wc = fpq['wq'][site_c]
         yq = _pad_to(_req(yf, site_c, fpq), skips[i])
         skip = skips[i]
-        skip_q = skip if skip.dtype == jnp.int8 else _qround(skip, fpq['act'][site_c])
-        cat = jnp.concatenate([yq, skip_q], axis=-1)
-        yf2 = jax.nn.relu(_deq_f32(_conv_i8(cat, fpq['wq'][site_c][0]), site_c, fpq, st['bc']))
+        if skip.dtype == jnp.int8:
+            # SPLIT concat conv with per-group input scales: the skip is
+            # the single int8 copy the VGG emitted at ITS OWN scale
+            # (s{i+1}c0 / dec{n}.pt — no requant pass, no concat tensor);
+            # the group scales fold into the two partial sums' dequants.
+            s_skip = fpq['act'][f'dec{i}.pt' if i == n - 1 else f's{i + 1}c0']
+            cy = yq.shape[-1]
+            y_up = _conv_i8(yq, Wq_c[:, :, :cy, :])
+            y_skip = _conv_i8(skip, Wq_c[:, :, cy:, :])
+            yf2 = jax.nn.relu(y_up.astype(jnp.float32) * (s_c * s_wc)
+                              + y_skip.astype(jnp.float32) * (s_skip * s_wc)
+                              + st['bc'].astype(jnp.float32))
+        else:
+            cat = jnp.concatenate([yq, _qround(skip, s_c)], axis=-1)
+            yf2 = jax.nn.relu(_deq_f32(_conv_i8(cat, Wq_c), site_c, fpq, st['bc']))
         next_site = f'dec{i - 1}.pt' if i - 1 > k_phase else f'dec{k_phase}.t'
         x = _req(yf2, next_site, fpq)
     xq = x if x.dtype == jnp.int8 else _qround(x, fpq['act'][f'dec{k_phase}.t'])
@@ -394,6 +444,13 @@ def _run_head_q8(fp, bottom, skips, fpq, k_phase: int, dtype=jnp.bfloat16):
     nc = Wk.shape[-1]
     B, Hb, Wb, C4 = phase_out.shape
     y = phase_out.reshape(B, Hb, Wb, 4, C4 // 4) @ Wk[0, 0].astype(dtype) + bk.astype(dtype)
+    if out == 'pred':
+        # argmax IN the phase layout (argmax commutes with the d2s
+        # permutation): the logits tensor is never materialized at full
+        # resolution and the cls matmul + argmax can fuse into dec0's
+        # conv epilogue. Bit-identical to argmax(d2s(logits)).
+        pred = jnp.argmax(y, axis=-1).astype(jnp.int32)  # (B, Hb, Wb, (2,2))
+        return d2s(pred, 1)[..., 0]
     return d2s(y.reshape(B, Hb, Wb, 4 * nc), nc)
 
 
@@ -407,15 +464,17 @@ def resident_ok(fp_head) -> bool:
             and len(phase_idx) < len(stages) and 'cls_kernel' in fp_head)
 
 
-def apply_fast_unet_q8(fp_vgg, fp_head, fpq, img, dtype=jnp.bfloat16):
+def apply_fast_unet_q8(fp_vgg, fp_head, fpq, img, dtype=jnp.bfloat16, out: str = 'logits'):
     """Int8-resident fast-path forward: image -> class logits, activations
     materialized as int8 between convs. Same quantization sites/scales as
     ``apply_fast_unet_q``. Raises ValueError for head configs outside the
-    shipped phase-prefix layout (callers fall back to apply_fast_unet_q)."""
+    shipped phase-prefix layout (callers fall back to apply_fast_unet_q).
+    ``out='pred'`` returns the int32 argmax plane instead of logits (the
+    fused device post-proc input) without materializing full-res logits."""
     if not resident_ok(fp_head):
         raise ValueError('int8-resident executor requires a contiguous phase-stage '
                          'prefix with a plain stage above it and a cls head')
     stages = fp_head['stages']
     k = max(i for i in stages if 'Wc_t' in stages[i])
     outs = _run_vgg_q8(fp_vgg, fpq, img, k, dtype=dtype)
-    return _run_head_q8(fp_head, outs[-1], outs[:-1], fpq, k, dtype=dtype)
+    return _run_head_q8(fp_head, outs[-1], outs[:-1], fpq, k, dtype=dtype, out=out)

@@ -116,6 +116,33 @@ class FastVGGUNetEval:
         self._int8_fpq = jax.jit(_calib)(variables, calib_img)
         return self._int8_fpq
 
+    def inference_and_postprocess(self, variables, img, ori_hw=None):
+        """Fast fused-eval route: when the int8-resident executor is active
+        and the eval is single-view whole-mode at native resolution, the
+        semantic plane is produced by the ``out='pred'`` executor (argmax
+        taken in the phase layout; full-res logits never materialized) and
+        fed straight to the device instance post-processor. Bit-identical
+        predictions to the logits route (argmax commutes with d2s and with
+        the single-view softmax fusion)."""
+        from ..heads.quant_decode import apply_fast_unet_q8, resident_ok
+        from ...ops.sliding import tta_views
+        use_pred = (self.device_pp_supported and self.test_cfg.get('device_postprocess', False)
+                    and ori_hw is None and self.test_cfg.get('mode', 'whole') == 'whole'
+                    and len(tta_views(self.test_cfg)) == 1
+                    and self._fast_eval_enabled() and self._fast_eval_ok(img.shape[1:3])
+                    and self.test_cfg.get('int8_eval', False)
+                    and getattr(self, '_int8_fpq', None) is not None)
+        if use_pred:
+            prep = self.prepare_inference(variables)
+            if 'int8' in prep and resident_ok(prep['head']):
+                sem_pred = apply_fast_unet_q8(prep['vgg'], prep['head'], prep['int8'],
+                                              img, dtype=self.net.dtype, out='pred')
+                if self.device_pp_strip_boundary:
+                    sem_pred = jnp.where(sem_pred == self.num_classes, 0, sem_pred)
+                sem_out, inst_out = self._device_instance_pp(sem_pred)
+                return {'sem_pred': sem_out, 'inst_pred': inst_out}
+        return super().inference_and_postprocess(variables, img, ori_hw)
+
     def forward_heads(self, variables, img, train: bool = False, rng=None, mutable=False, prep=None):
         if (train or mutable or not self._fast_eval_enabled()
                 or not self._fast_eval_ok(img.shape[1:3])):

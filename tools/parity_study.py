@@ -192,6 +192,10 @@ def init_path(model, seed):
     return f'/tmp/parity_init_{model}_{seed}.pth'
 
 
+def trained_path(model, seed, steps):
+    return f'/tmp/parity_trained_{model}_{seed}_{steps}.pth'
+
+
 def save_torch_init(model, seed):
     """(Re)generate the torch reference init checkpoint for (model, seed)
     WITHOUT training. torch.manual_seed makes the init deterministic, so a
@@ -240,6 +244,8 @@ def run_torch(model, seed, steps, hw, n_train, train_items, val_items, order):
             print(f'[torch {model} s{seed}] step {s}: loss {float(loss):.4f} ({time.time() - t0:.0f}s)',
                   flush=True)
     ref.eval()
+    # trained state feeds the jax-side component-swap bisect (--swap-eval)
+    torch.save(ref.state_dict(), trained_path(model, seed, steps))
 
     def calc(patch):
         with torch.no_grad():
@@ -250,7 +256,7 @@ def run_torch(model, seed, steps, hw, n_train, train_items, val_items, order):
     return protocol_eval(calc, val_items, cfg['strip'], cfg['radius'])
 
 
-def run_jax(model, seed, steps, hw, n_train, train_items, val_items, order):
+def run_jax(model, seed, steps, hw, n_train, train_items, val_items, order, swap_eval=False):
     import jax
     # Parity runs compare FRAMEWORK semantics, so pin f32 matmuls/convs to
     # true-f32 internal precision: TPU's default (fast bf16 passes) shifted
@@ -299,12 +305,39 @@ def run_jax(model, seed, steps, hw, n_train, train_items, val_items, order):
             print(f'[jax {model} s{seed}] step {s}: loss {float(total):.4f} ({time.time() - t0:.0f}s)',
                   flush=True)
     variables = {'params': params, 'batch_stats': batch_stats}
-    fwd = jax.jit(lambda im: seg.forward_heads(variables, im)['sem'])
 
-    def calc(patch):
-        return np.asarray(fwd(jnp.asarray(patch[None])), np.float32)[0]
+    def eval_with(v):
+        fwd = jax.jit(lambda vv, im: seg.forward_heads(vv, im)['sem'])
 
-    return protocol_eval(calc, val_items, cfg['strip'], cfg['radius'])
+        def calc(patch):
+            return np.asarray(fwd(v, jnp.asarray(patch[None])), np.float32)[0]
+
+        return protocol_eval(calc, val_items, cfg['strip'], cfg['radius'])
+
+    if not swap_eval:
+        return eval_with(variables)
+
+    # component-swap bisect (VERDICT r3 item 4): localize a trained-accuracy
+    # residual by replacing one component of the jax-trained model with the
+    # TORCH-trained one (same seed/batches) and re-running the shared eval.
+    # If e.g. only the BN-stats swap moves the metric to the torch value,
+    # the residual lives in BN running-stat accumulation.
+    tpath = trained_path(model, seed, steps)
+    if not osp.exists(tpath):
+        raise SystemExit(f'--swap-eval needs the torch-side trained state at {tpath} '
+                         '(run --side torch first; it now saves it)')
+    tsd = torch.load(tpath, map_location='cpu')
+    tvars = import_reference_checkpoint(model, seg.init_variables(jax.random.PRNGKey(0), hw=(hw, hw)), tsd)
+    variants = {
+        'jax': variables,
+        'bn_torch': {'params': params, 'batch_stats': tvars['batch_stats']},
+        'backbone_torch': {'params': {**params, 'backbone': tvars['params']['backbone']},
+                           'batch_stats': {**batch_stats, 'backbone': tvars['batch_stats']['backbone']}},
+        'head_torch': {'params': {**params, 'head': tvars['params']['head']},
+                       'batch_stats': {**batch_stats, 'head': tvars['batch_stats']['head']}},
+        'all_torch': tvars,
+    }
+    return {name: eval_with(v) for name, v in variants.items()}
 
 
 def summarize(path):
@@ -354,6 +387,9 @@ def main():
     ap.add_argument('--summarize', default=None)
     ap.add_argument('--init-only', action='store_true',
                     help='only (re)generate the torch init checkpoint for (model, seed)')
+    ap.add_argument('--swap-eval', action='store_true',
+                    help='jax side: also evaluate with BN-stats/backbone/head swapped '
+                         'in from the torch-side TRAINED state (component bisect)')
     args = ap.parse_args()
     if args.summarize:
         summarize(args.summarize)
@@ -367,13 +403,20 @@ def main():
     rng = np.random.default_rng(args.seed)
     order = [rng.choice(args.n_train, MODEL_CFG[args.model]['bs'], replace=False)
              for _ in range(args.steps)]
-    fn = run_torch if args.side == 'torch' else run_jax
-    metrics = fn(args.model, args.seed, args.steps, args.hw, args.n_train, train_items, val_items, order)
-    row = {'model': args.model, 'seed': args.seed, 'side': args.side, 'steps': args.steps,
-           'metrics': metrics}
-    print(json.dumps(row))
+    if args.side == 'torch':
+        metrics = run_torch(args.model, args.seed, args.steps, args.hw, args.n_train,
+                            train_items, val_items, order)
+        variants = {'torch': metrics}
+    else:
+        metrics = run_jax(args.model, args.seed, args.steps, args.hw, args.n_train,
+                          train_items, val_items, order, swap_eval=args.swap_eval)
+        variants = metrics if args.swap_eval else {'jax': metrics}
     with open(args.out, 'a') as f:
-        f.write(json.dumps(row) + '\n')
+        for side, m in variants.items():
+            row = {'model': args.model, 'seed': args.seed, 'side': side, 'steps': args.steps,
+                   'metrics': m}
+            print(json.dumps(row))
+            f.write(json.dumps(row) + '\n')
 
 
 if __name__ == '__main__':
