@@ -7,6 +7,10 @@ import pytest
 from tiseg_tpu.models.backbones.resnet import DeeplabResNet50, ResNet, ResNetExt
 from tiseg_tpu.models.backbones.vgg import VGG16BN, VGG19BN
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 def shapes(mod, hw=64):
     v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3)))

@@ -13,6 +13,10 @@ from tiseg_tpu.engine.checkpoint import CheckpointManager
 from tiseg_tpu.engine.train_state import TrainState
 from tiseg_tpu.models import build_segmentor
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), 'tools'))
 
 

@@ -12,6 +12,10 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 from test_datasets import make_mini_dataset  # noqa: E402
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 CONFIG_TPL = """
 data_root = {root!r}
 train_processes = [

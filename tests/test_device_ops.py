@@ -11,6 +11,10 @@ from tiseg_tpu.ops.morph import (binary_dilation, binary_erosion, binary_fill_ho
 from tiseg_tpu.utils import morphology as m
 from tiseg_tpu.models.segmentors.unet import instance_postprocess
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 def random_mask(seed, shape=(96, 96), n=10):
     rng = np.random.default_rng(seed)

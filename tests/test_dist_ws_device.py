@@ -5,6 +5,11 @@ from scipy import ndimage
 
 from tiseg_tpu.models.utils.postprocess import dynamic_watershed
 from tiseg_tpu.ops.dist_ws import dynamic_watershed_device
+import pytest
+
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
 
 
 def synthetic_distmap(shape=(96, 96), centers=((30, 30), (30, 50), (64, 64)), r=12):

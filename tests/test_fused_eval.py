@@ -10,6 +10,10 @@ from jax.experimental import pallas as pl
 
 from tiseg_tpu.models import build_segmentor
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def interpret_pallas(monkeypatch):

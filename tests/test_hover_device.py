@@ -7,6 +7,10 @@ import pytest
 from tiseg_tpu.models.utils.postprocess import hover_post_proc
 from tiseg_tpu.ops.hover import gaussian_blur3, hover_post_proc_device, sobel
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 def test_sobel_matches_cv2_interior():
     rng = np.random.default_rng(0)

@@ -9,6 +9,10 @@ from tiseg_tpu.utils.morphology import label as cc_label
 
 from test_inst_metrics import random_blobs
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize('seed', [0, 1, 2])
 def test_aji_device_matches_host(seed):

@@ -6,6 +6,10 @@ import pytest
 
 from tiseg_tpu.models import build_segmentor
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 def test_cdnet_smoke():
     HW = 64

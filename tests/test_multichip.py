@@ -25,6 +25,10 @@ from tiseg_tpu.parallel.mesh import create_mesh, shard_batch
 sys.path.insert(0, __file__.rsplit('/', 1)[0])
 from test_datasets import PROCESSES, make_mini_dataset  # noqa: E402
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 def _global_batch(step, B=8, hw=32):
     rng = np.random.default_rng(100 + step)

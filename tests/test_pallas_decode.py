@@ -7,6 +7,10 @@ import pytest
 from tiseg_tpu.models.heads import fast_decode as fd
 from tiseg_tpu.attic.pallas_decode import fused_decode0_cls
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 def _random_stage(rng, G, Cx, C0, F_t, F_c, nc, dtype):
     def r(*shape):

@@ -6,6 +6,10 @@ import pytest
 from tiseg_tpu.ops.morph import grey_dilation, grey_erosion, square_offsets
 from tiseg_tpu.ops.pallas_kernels import neighborhood_max_3x3, neighborhood_min_3x3
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize('seed', [0, 1])
 def test_pallas_max_matches_xla(seed):

@@ -8,6 +8,10 @@ import numpy as np
 import pytest
 from jax.experimental import pallas as pl
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def interpret_pallas(monkeypatch):

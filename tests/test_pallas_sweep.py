@@ -13,6 +13,10 @@ from tiseg_tpu.models.segmentors.unet import instance_postprocess
 from tiseg_tpu.ops.pallas_sweep import ccl_sweep, fill_holes_sweep, instance_postprocess_sweep
 from tiseg_tpu.utils import morphology as m
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 def blobs(seed, hw=96, n=25, rmax=7):
     rng = np.random.default_rng(seed)

@@ -16,6 +16,10 @@ import jax.numpy as jnp
 from tiseg_tpu.models import build_segmentor
 from tiseg_tpu.models.heads import quant_cdnet
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def cdnet_prep():

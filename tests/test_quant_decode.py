@@ -16,6 +16,10 @@ from tiseg_tpu.models import build_segmentor
 from tiseg_tpu.models.heads import quant_decode
 from tiseg_tpu.models.heads.fast_decode import apply_fast_unet_head, apply_fast_vgg16
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def unet_prep():

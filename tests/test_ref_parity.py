@@ -20,6 +20,10 @@ torch = pytest.importorskip('torch')
 
 from reference_compat import load_reference_models  # noqa: E402
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 RTOL = 2e-4
 
 

@@ -11,6 +11,10 @@ import torch.nn.functional as F  # noqa: E402
 
 from tiseg_tpu.ops.sliding import resize_bilinear, reverse_tta_transform, tta_transform  # noqa: E402
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 def rand(*shape, seed=0):
     return np.random.default_rng(seed).normal(size=shape).astype(np.float32)

@@ -8,6 +8,10 @@ torch = pytest.importorskip('torch')
 from tiseg_tpu.models import build_segmentor
 from tiseg_tpu.models.backbones.torch_port import load_torchvision_vgg
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 VGG16_CHANS = {0: (3, 64), 3: (64, 64), 7: (64, 128), 10: (128, 128), 14: (128, 256), 17: (256, 256),
                20: (256, 256), 24: (256, 512), 27: (512, 512), 30: (512, 512), 34: (512, 512),
                37: (512, 512), 40: (512, 512)}

@@ -25,7 +25,8 @@ TEST_PROCESSES = [
 ]
 
 
-@pytest.mark.slow
+# deliberately in the <5-min core tier: the one full train->checkpoint->eval
+# smoke `pytest -m 'not slow'` keeps (VERDICT r3 item 8)
 def test_train_eval_e2e(tmp_path):
     assert jax.device_count() == 8
     root = str(tmp_path / 'ds')
@@ -73,6 +74,7 @@ def test_train_eval_e2e(tmp_path):
     assert any(r['mode'] == 'val' for r in records)
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_auto_resume(tmp_path):
     root = str(tmp_path / 'ds')

@@ -11,6 +11,10 @@ from tiseg_tpu.engine.train_state import TrainState, make_train_step
 from tiseg_tpu.models import build_segmentor
 from tiseg_tpu.utils.metrics import binary_aggregated_jaccard_index
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 def make_batch(rng, n=8, hw=64):
     imgs = np.zeros((n, hw, hw, 3), np.float32)

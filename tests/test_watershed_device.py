@@ -7,6 +7,10 @@ from scipy import ndimage
 from tiseg_tpu.ops.watershed import watershed as ws_dev
 from tiseg_tpu.utils.morphology import watershed as ws_host
 
+# compile-heavy (8-virtual-device CPU mesh): excluded from the <5-min core tier
+# (`pytest -m 'not slow'`); the full suite runs them all.
+pytestmark = pytest.mark.slow
+
 
 def two_disk_case():
     mask = np.zeros((48, 80), bool)

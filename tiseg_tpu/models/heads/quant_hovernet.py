@@ -20,8 +20,14 @@ Architecture-specific choices:
   affine (a, c) and applied explicitly — XLA fuses it into the
   surrounding elementwise epilogue either way.
 - Quantized: the stem, all 48 bottleneck convs + 4 downsamples, conv_bot,
-  and every branch conv except the final 1x1 ``u0_cls`` heads (<0.1% of
-  FLOPs; their logits feed argmax/watershed directly). The dense-unit
+  and the branch convs INCLUDING the tp/np branches' full-res u1a convs
+  and 1x1 ``u0_cls`` heads (int8 in the resident executor, f32 logits via
+  the dequant epilogue). The hv branch stays ENTIRELY on the float path
+  by default (quantize_params ``float_branches=('hv',)``): it regresses
+  continuous offsets whose watershed consumer loses 2.5-3 Aji pts to
+  8-bit resolution on a converged model — measured, with a float-tail-only
+  variant recovering just 0.5 pt and a margin ablation ruling out
+  saturation (tools/int8_gate_study.py, docs/ROUND4.md). The dense-unit
   3x3 convs keep their ``feature_group_count=4`` grouping in int8.
 
 Nothing here is on a default route; HoverNet.calibrate_int8 +
@@ -114,7 +120,9 @@ def build_hovernet_fp(params: Dict[str, Any], stats: Dict[str, Any], dtype=jnp.b
 def _cq(x, site: str, W, bias: Optional[Any], fpq, scales_out, strides=(1, 1),
         padding='SAME', groups: int = 1, dtype=jnp.bfloat16):
     """One quantizable conv site (see quant_cdnet._conv_q)."""
-    if fpq is None:
+    if fpq is None or site not in fpq['wq']:
+        # calibration pass, or a site exempted from quantization
+        # (quantize_params float_branches): float path
         if scales_out is not None:
             scales_out[site] = jnp.max(jnp.abs(x.astype(jnp.float32)))
         y = jax.lax.conv_general_dilated(x.astype(dtype), W.astype(dtype), strides, padding,
@@ -216,7 +224,16 @@ def calibrate(fp, img, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
     return scales
 
 
-def quantize_params(fp, act_maxes: Dict[str, Any], margin: float = 1.0):
+def quantize_params(fp, act_maxes: Dict[str, Any], margin: float = 1.0,
+                    float_branches: Tuple[str, ...] = ('hv',)):
+    """``float_branches`` stay ENTIRELY on the bf16 path: the hv branch
+    regresses CONTINUOUS per-pixel offsets whose sobel/watershed consumers
+    are sensitive to 8-bit resolution — measured on a converged model
+    (tools/int8_gate_study.py, docs/ROUND4.md): hv int8 costs −2.8 Aji
+    pts, a float u1a/u0 tail alone recovers only 0.5 of that, and widening
+    the calibration margin makes it WORSE (coarser steps — a resolution
+    limit, not saturation). Executors branch on site presence, so
+    exempted branches run the float path."""
     act = {k: jnp.maximum(jnp.asarray(v, jnp.float32) * margin, 1e-12) / 127.0
            for k, v in act_maxes.items()}
     wq: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
@@ -231,6 +248,8 @@ def quantize_params(fp, act_maxes: Dict[str, Any], margin: float = 1.0):
     wq['bot'] = _wquant(fp['conv_bot'])
     for nm in _BRANCHES:
         br = fp['branches'][nm]
+        if nm in float_branches:
+            continue
         for lvl in ('u3', 'u2'):
             wq[f'{nm}.{lvl}a'] = _wquant(br[f'{lvl}a'])
             for u, unit in enumerate(br[f'{lvl}d']):
@@ -368,13 +387,19 @@ def _run_branch_q8(fp_br, nm: str, feats, fpq):
     u3 = level(f32(upsample_2x_nearest(d3)) + f32(d2), 'u3')
     u2 = level(upsample_2x_nearest(u3) + f32(d1), 'u2')
     s1 = f'{nm}.u1a'
-    u1 = _deq_f32(_conv_i8(_qround(upsample_2x_nearest(u2) + f32(d0), act[s1]),
-                           wq[s1][0]), s1, fpq)
+    u1_in = upsample_2x_nearest(u2) + f32(d0)
+    if s1 in wq:
+        u1 = _deq_f32(_conv_i8(_qround(u1_in, act[s1]), wq[s1][0]), s1, fpq)
+    else:  # float_branches exemption (quantize_params)
+        u1 = f32(_conv(u1_in.astype(fp_br['u1a'].dtype), fp_br['u1a']))
     a0, c0 = fp_br['u0_bn']
     u0 = relu(u1 * f32(a0) + f32(c0))
     s0 = f'{nm}.u0'
-    bk = fp_br['u0_cls'][1]  # kernel rides wq[f'{nm}.u0']; bias in the f32 epilogue
-    return _deq_f32(_conv_i8(_qround(u0, act[s0]), wq[s0][0]), s0, fpq, bk)
+    Wk, bk = fp_br['u0_cls']
+    if s0 in wq:
+        # bias in the f32 epilogue; kernel rides wq[f'{nm}.u0']
+        return _deq_f32(_conv_i8(_qround(u0, act[s0]), wq[s0][0]), s0, fpq, bk)
+    return _conv(u0, f32(Wk)) + f32(bk)
 
 
 def apply_hovernet_q8(fp, fpq, img, dtype=jnp.bfloat16):
@@ -387,8 +412,12 @@ def apply_hovernet_q8(fp, fpq, img, dtype=jnp.bfloat16):
     d3 = _deq_f32(yb, 'bot', fpq).astype(dtype)
     # skips materialize once in bf16; each branch upcasts in fused elementwise
     feats = (feats[0].astype(dtype), feats[1].astype(dtype), feats[2].astype(dtype), d3)
-    out = {nm: _run_branch_q8(fp['branches'][nm], nm, feats, fpq)
-           for nm in _BRANCHES}
+    out = {}
+    for nm in _BRANCHES:
+        if f'{nm}.u3a' in fpq['wq']:
+            out[nm] = _run_branch_q8(fp['branches'][nm], nm, feats, fpq)
+        else:  # float_branches exemption: whole branch on the bf16 path
+            out[nm] = _run_branch(fp['branches'][nm], nm, feats, None, None, dtype)
     return {'sem': out['tp'], 'fore': out['np'], 'hv': out['hv']}
 
 

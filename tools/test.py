@@ -34,13 +34,20 @@ def calibrate_int8_from_dataset(segmentor, variables, dataset, n: int, hw: int =
     so every subsequent jitted eval program routes through the int8
     executor (heads/quant_decode.py — UNet family; quant_cdnet.py /
     quant_hovernet.py for CDNet / HoverNet). Same scheme the TPU bench
-    gates on held-out instance accuracy (docs/ROUND3.md: <=0.15 Aji pts
-    measured cost on the briefly-trained workload)."""
+    gates on held-out instance accuracy. Converged-model deltas
+    (tools/int8_gate_study.py, docs/ROUND4.md): UNet 0.0 Aji pts, CDNet
+    +0.3; HoverNet −1.8 (the int8 trunk perturbs the hv regression
+    branch) — HoverNet int8 is opt-in with that documented cost."""
     import jax.numpy as jnp
     import numpy as np
     if not hasattr(segmentor, 'calibrate_int8'):
         raise SystemExit(f'{type(segmentor).__name__} has no int8 eval path '
                          '(supported: UNet/CUNet, CDNet, HoverNet)')
+    if type(segmentor).__name__ == 'HoverNet':
+        print('WARNING: HoverNet int8 costs ~1.8 Aji pts at converged weights '
+              '(hv regression branch is int8-trunk-sensitive; '
+              'tools/int8_gate_study.py) for only ~4% speed — prefer bf16 '
+              'unless throughput-critical.', file=sys.stderr, flush=True)
     imgs = [np.asarray(dataset[i]['data']['img'], np.float32)
             for i in range(min(n, len(dataset)))]
     # one common /4-divisible crop size so the batch stacks (the int8
