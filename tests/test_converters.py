@@ -72,3 +72,58 @@ def test_monuseg_end_to_end(tmp_path):
     assert osp.exists(str(train_dir / f'{stem}_inst.npy'))
     inst = np.load(str(train_dir / f'{stem}_inst.npy'))
     assert inst.dtype == np.int32
+
+
+def test_crop_patches_matches_reference_transcription():
+    """The idiomatic crop_patches must emit the BIT-identical patch list of
+    the reference routine (tools/convert_dataset/monuseg.py:108-151 in the
+    upstream repo) — dataset bit parity depends on it. The oracle below is
+    a direct transcription kept ONLY as this test's fixture; note its
+    remainder branches are unreachable (floor(x/s)+1 == floor((x+s)/s)),
+    which is why the shipped implementation is a plain window grid."""
+    import math
+
+    from _common import crop_patches
+
+    def oracle(image, w_size, s_size):
+        patches = []
+        diff = w_size - s_size
+        pad1, pad2 = diff // 2, diff - diff // 2
+        if image.ndim == 2:
+            image = np.pad(image[:, :, None], ((pad1, pad2), (pad1, pad2), (0, 0)), 'reflect')[:, :, 0]
+        else:
+            image = np.pad(image, ((pad1, pad2), (pad1, pad2), (0, 0)), 'reflect')
+        pad_h, pad_w = image.shape[:2]
+        h_last_step = math.floor((pad_h - w_size) / s_size)
+        h_last = (h_last_step + 1) * s_size
+        w_last_step = math.floor((pad_w - w_size) / s_size)
+        w_last = (w_last_step + 1) * s_size
+        for i in range(0, h_last, s_size):
+            for j in range(0, w_last, s_size):
+                patches.append(image[i:i + w_size, j:j + w_size])
+        if h_last_step > ((pad_h - w_size + s_size) // s_size):
+            i = pad_h - w_size
+            for j in range(0, w_last, s_size):
+                patches.append(image[i:i + w_size, j:j + w_size])
+        if w_last_step > ((pad_w - w_size + s_size) // s_size):
+            j = pad_w - w_size
+            for i in range(0, h_last, s_size):
+                patches.append(image[i:i + w_size, j:j + w_size])
+        if (h_last_step > ((pad_h - w_size + s_size) // s_size)
+                and w_last_step > ((pad_w - w_size + s_size) // s_size)):
+            patches.append(image[pad_h - w_size:pad_h, pad_w - w_size:pad_w])
+        return patches
+
+    rng = np.random.default_rng(0)
+    cases = [((1000, 1000, 3), 512, 256),   # MoNuSeg train recipe
+             ((1000, 1000), 512, 256),      # 2-D (inst/sem maps)
+             ((1000, 1000, 3), 300, 200),   # non-divisible remainder
+             ((517, 301, 3), 256, 192),     # ragged sizes
+             ((100, 100, 3), 512, 256),     # image smaller than window
+             ((256, 256), 256, 256)]        # stride == window (no pad)
+    for shape, w, s in cases:
+        img = rng.integers(0, 255, shape).astype(np.uint8)
+        got, want = crop_patches(img, w, s), oracle(img, w, s)
+        assert len(got) == len(want), (shape, w, s)
+        for g, o in zip(got, want):
+            np.testing.assert_array_equal(g, o, err_msg=str((shape, w, s)))

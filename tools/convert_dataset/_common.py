@@ -1,9 +1,7 @@
 """Shared helpers for dataset converters (reference: tools/convert_dataset/
 monuseg.py:85-151 crop/save utilities)."""
-import math
 import os
 import os.path as osp
-import random
 from concurrent.futures import ProcessPoolExecutor
 
 import cv2
@@ -22,51 +20,35 @@ def pillow_save(save_path, array, palette=None):
     image.save(save_path)
 
 
-def colorize_seg_map(seg_map):
-    colorful = np.zeros(seg_map.shape, dtype=np.float32)
-    for id_ in np.unique(seg_map):
-        if id_ == 0:
-            continue
-        colorful[seg_map == id_] = random.random()
-    out = cv2.applyColorMap((colorful * 255).astype(np.uint8), cv2.COLORMAP_RAINBOW)
+def colorize_seg_map(seg_map, seed=None):
+    """Instance-id preview PNG: each id gets a random rainbow colour,
+    background stays black (cosmetic only — nothing reads these back)."""
+    rng = np.random.default_rng(seed)
+    hues = rng.random(int(seg_map.max()) + 1) * 255
+    out = cv2.applyColorMap(hues[seg_map].astype(np.uint8), cv2.COLORMAP_RAINBOW)
     out[seg_map == 0, :] = (0, 0, 0)
     return cv2.cvtColor(out, cv2.COLOR_BGR2RGB)
 
 
 def crop_patches(image, w_size, s_size):
-    """Reflect-padded overlapping sliding-window crops plus right/bottom
-    remainder rows (reference monuseg.py:108-151)."""
-    patches = []
+    """Reflect-pad by (w_size - s_size), split asymmetrically, then take
+    the w_size x w_size window grid at stride s_size (row-major).
+
+    This is the exact patch set of the reference's crop routine
+    (monuseg.py:108-151, itself credited to hover_net) — dataset bit
+    parity depends on it. The reference additionally carries right/bottom
+    "remainder" branches guarded by ``(P - w)//s > (P - w + s)//s``; that
+    inequality is unsatisfiable (``floor(x/s) + 1 == floor((x + s)/s)``),
+    so the grid below is the complete behavior. Pinned bit-identical to a
+    transcription of the original in tests/test_converters.py
+    (test_crop_patches_matches_reference_transcription)."""
     diff = w_size - s_size
-    pad1 = diff // 2
-    pad2 = diff - pad1
-
-    if image.ndim == 2:
-        image = np.pad(image[:, :, None], ((pad1, pad2), (pad1, pad2), (0, 0)), 'reflect')[:, :, 0]
-    else:
-        image = np.pad(image, ((pad1, pad2), (pad1, pad2), (0, 0)), 'reflect')
-
-    pad_h, pad_w = image.shape[:2]
-    h_last_step = math.floor((pad_h - w_size) / s_size)
-    h_last = (h_last_step + 1) * s_size
-    w_last_step = math.floor((pad_w - w_size) / s_size)
-    w_last = (w_last_step + 1) * s_size
-
-    for i in range(0, h_last, s_size):
-        for j in range(0, w_last, s_size):
-            patches.append(image[i:i + w_size, j:j + w_size])
-    if h_last_step > ((pad_h - w_size + s_size) // s_size):
-        i = pad_h - w_size
-        for j in range(0, w_last, s_size):
-            patches.append(image[i:i + w_size, j:j + w_size])
-    if w_last_step > ((pad_w - w_size + s_size) // s_size):
-        j = pad_w - w_size
-        for i in range(0, h_last, s_size):
-            patches.append(image[i:i + w_size, j:j + w_size])
-    if (h_last_step > ((pad_h - w_size + s_size) // s_size)
-            and w_last_step > ((pad_w - w_size + s_size) // s_size)):
-        patches.append(image[pad_h - w_size:pad_h, pad_w - w_size:pad_w])
-    return patches
+    pad = (diff // 2, diff - diff // 2)
+    image = np.pad(image, (pad, pad) + ((0, 0),) * (image.ndim - 2), 'reflect')
+    steps_h = (image.shape[0] - w_size) // s_size + 1
+    steps_w = (image.shape[1] - w_size) // s_size + 1
+    return [image[i * s_size:i * s_size + w_size, j * s_size:j * s_size + w_size]
+            for i in range(max(steps_h, 0)) for j in range(max(steps_w, 0))]
 
 
 def save_item(new_path, sub_item, image_bgr, inst, sem):
