@@ -107,6 +107,7 @@ def _load_lm():
     lib.bound_map.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                               ctypes.POINTER(ctypes.c_uint8)]
     lib.all_centerpoints.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int32, c_i32p]
+    lib.instance_bboxes.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int32, c_i32p]
     lib.dlm_point_maps.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
                                    ctypes.c_int, ctypes.c_int, c_f32p, c_f32p, c_i32p]
     lib.ddm_weight.argtypes = [c_i32p, c_f32p, ctypes.c_int, ctypes.c_int,
@@ -157,6 +158,21 @@ def unet_weight_map(ann: np.ndarray, n_ids: int, trunc: int, w0: float, sigma: f
     out = np.zeros((h, w), np.float32)
     lib.unet_weight_map(ann.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, n_ids, trunc,
                         w0, sigma, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def instance_bboxes(inst: np.ndarray, n_ids: int):
+    """Tight per-id bboxes in one image pass: (n_ids+1, 4) int32 rows
+    (y0, y1, x0, x1), y1 = -1 where an id is absent; None without a
+    compiler. Twin of ops/label_maps.py instance_boxes."""
+    lib = _load_lm()
+    if lib is None:
+        return None
+    inst = _i32(inst)
+    h, w = inst.shape
+    out = np.empty((n_ids + 1, 4), np.int32)
+    lib.instance_bboxes(inst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, n_ids,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out
 
 

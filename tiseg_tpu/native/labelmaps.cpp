@@ -29,6 +29,37 @@ struct UF {
   void unite(int32_t a, int32_t b) { a = find(a); b = find(b); if (a != b) p[std::max(a,b)] = std::min(a,b); }
 };
 
+// 1-D squared EDT with the parabola sites restricted to [a, b] (queries
+// still span [0, n)). Exact when every site outside [a, b] carries a
+// sentinel value so large its parabola never touches the lower envelope
+// over [0, n) — then the envelope (and each query's winning site, ties
+// included: identical insertion order and intersection arithmetic) is the
+// same as the full-range build, at a fraction of the division-heavy
+// envelope cost.
+void edt1d_band(const double* f, int n, int a, int b, double* d, int* v, double* z) {
+  int k = 0;
+  v[0] = a;
+  z[0] = -std::numeric_limits<double>::infinity();
+  z[1] = std::numeric_limits<double>::infinity();
+  for (int q = a + 1; q <= b; ++q) {
+    double s;
+    while (true) {
+      s = ((f[q] + q * (double)q) - (f[v[k]] + v[k] * (double)v[k])) / (2.0 * q - 2.0 * v[k]);
+      if (s <= z[k]) { --k; } else break;
+    }
+    ++k;
+    v[k] = q;
+    z[k] = s;
+    z[k + 1] = std::numeric_limits<double>::infinity();
+  }
+  k = 0;
+  for (int q = 0; q < n; ++q) {
+    while (z[k + 1] < q) ++k;
+    double dq = q - (double)v[k];
+    d[q] = dq * dq + f[v[k]];
+  }
+}
+
 // 1-D squared Euclidean distance transform (Felzenszwalb & Huttenlocher).
 void edt1d(const double* f, int n, double* d, int* v, double* z) {
   int k = 0;
@@ -143,7 +174,8 @@ void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
   const double BIG = 1e9;
   const int n = H * W;
   if (n_ids <= 1) { std::memset(out, 0, sizeof(float) * n); return; }
-  std::vector<double> near1(n, BIG), near2(n, BIG);
+  // near1/near2 hold SQUARED distances until the final pass (sentinel BIG^2)
+  std::vector<double> near1(n, BIG * BIG), near2(n, BIG * BIG);
   std::vector<int> y0, y1, x0, x1;
   id_bboxes(ann, H, W, n_ids, y0, y1, x0, x1);
   std::vector<double> dcol, drow, zbuf;
@@ -153,13 +185,16 @@ void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
     int ys = std::max(y0[id] - trunc, 0), ye = std::min(y1[id] + trunc + 1, H);
     int xs = std::max(x0[id] - trunc, 0), xe = std::min(x1[id] + trunc + 1, W);
     int h = ye - ys, w = xe - xs;
+    // columns outside the instance's x-range hold no instance pixel: their
+    // vertical distance is the BIG^2 sentinel without scanning
+    const int fx0 = x0[id] - xs, fx1 = x1[id] - xs;
     // binary column stage: two integer scans give the exact squared
     // vertical distance to the instance per column — the same integers the
     // general parabola pass (edt1d on 0 / BIG^2) produces, at a fraction of
     // the cost (no divisions)
-    dcol.resize((size_t)h * w);
+    dcol.assign((size_t)h * w, BIG * BIG);
     dv.assign((size_t)h * w, 1 << 28);
-    for (int x = 0; x < w; ++x) {
+    for (int x = fx0; x <= fx1; ++x) {
       int last = -(1 << 28);
       for (int y = 0; y < h; ++y) {
         if (ann[(y + ys) * W + (x + xs)] == id) last = y;
@@ -170,27 +205,35 @@ void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
         if (ann[(y + ys) * W + (x + xs)] == id) next = y;
         dv[(size_t)y * w + x] = std::min(dv[(size_t)y * w + x], next - y);
       }
+      for (int y = 0; y < h; ++y) {
+        const size_t i = (size_t)y * w + x;
+        if (dv[i] < h) dcol[i] = (double)dv[i] * dv[i];
+      }
     }
-    for (size_t i = 0; i < dv.size(); ++i)
-      dcol[i] = (dv[i] >= h) ? BIG * BIG : (double)dv[i] * dv[i];
     int m = std::max(h, w);
     drow.resize(m); vbuf.resize(m); zbuf.resize(m + 1);
     std::vector<double> row(w), dr(w);
-    for (int y = 0; y < h; ++y) {          // then rows
-      for (int x = 0; x < w; ++x) row[x] = dcol[(size_t)y * w + x];
-      edt1d(row.data(), w, dr.data(), vbuf.data(), zbuf.data());
-      for (int x = 0; x < w; ++x) {
-        double d = std::sqrt(dr[x]);
-        int gi = (y + ys) * W + (x + xs);
-        double v1 = near1[gi];
-        if (d < v1) { near2[gi] = v1; near1[gi] = d; }
-        else if (d == v1) { near2[gi] = v1; }          // equidistant tie
-        else { near2[gi] = std::min(near2[gi], d); }
+    for (int y = 0; y < h; ++y) {          // then rows: parabola sites only
+      for (int x = fx0; x <= fx1; ++x) row[x] = dcol[(size_t)y * w + x];
+      edt1d_band(row.data(), w, fx0, fx1, dr.data(), vbuf.data(), zbuf.data());
+      // merge on SQUARED distances: IEEE sqrt is monotone, so the
+      // (near1, near2) selection is value-identical to merging on the
+      // rooted distances (ties included — see the equal-root analysis in
+      // docs/ROUND4.md); the sqrt moves out of this O(n_ids * box) loop
+      // to one pass over the image below.
+      double* n1 = &near1[(size_t)(y + ys) * W + xs];
+      double* n2 = &near2[(size_t)(y + ys) * W + xs];
+      for (int x = 0; x < w; ++x) {  // branchless two-smallest update (SIMD-able)
+        const double d2 = dr[x];
+        const double v1 = n1[x];
+        n2[x] = std::min(n2[x], std::max(v1, d2));
+        n1[x] = std::min(v1, d2);
       }
     }
   }
   double inv = 1.0 / (2.0 * sigma * sigma);
   double cap = 4.0 * trunc;
+  const double BIG2 = BIG * BIG;
   // glibc exp() takes a ~300ns accuracy path for near-underflow arguments
   // (the common far-from-instances case, arg = -cap^2*inv); any w0*exp(arg)
   // below half the min f32 subnormal casts to exactly 0.f — short-circuit
@@ -198,7 +241,8 @@ void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
   const double acut = std::log(1e-46 / (std::abs((double)w0) + 1e-300));
   for (int i = 0; i < n; ++i) {
     if (ann[i] > 0) { out[i] = 0.f; continue; }
-    double pix = (near2[i] >= BIG) ? BIG : (near1[i] + near2[i]);
+    double pix = (near2[i] >= BIG2) ? BIG
+                                    : (std::sqrt(near1[i]) + std::sqrt(near2[i]));
     pix = std::min(pix, cap);
     const double a = -pix * pix * inv;
     out[i] = (a < acut) ? 0.f : (float)(w0 * std::exp(a));
@@ -233,6 +277,7 @@ void centerpoints_impl(const int32_t* inst, int H, int W, int32_t n_ids,
       std::cos(0.0),        std::cos(M_PI / 4),     std::cos(M_PI / 2),     std::cos(3 * M_PI / 4),
       std::cos(M_PI),       std::cos(5 * M_PI / 4), std::cos(3 * M_PI / 2), std::cos(7 * M_PI / 4)};
   std::vector<double> best(n_ids + 1, -1.0);
+  std::vector<long> best_idx(n_ids + 1, (long)H * W + 1);
   // per-id conservative probe-distance threshold: beyond T the probe is
   // outside the bbox for every direction (dominant-axis displacement
   // mid/sqrt(2) - 0.5 exceeds the bbox extent; +1.0 covers rint slack)
@@ -243,34 +288,126 @@ void centerpoints_impl(const int32_t* inst, int H, int W, int32_t n_ids,
     T[id] = (ext + 1.0) * 1.4142135624 + 1.0;
   }
   for (int32_t id = 0; id <= n_ids; ++id) { out_yx[2 * id] = -1; out_yx[2 * id + 1] = -1; }
-  for (int i = 0; i < H; ++i)
-    for (int j = 0; j < W; ++j) {
-      int32_t id = inst[i * W + j];
-      if (id <= 0 || id > n_ids) continue;
-      const double t = T[id];
-      double maxd = 0.0, mind = 1e7;
-      for (int k = 0; k < 8; ++k) {
-        double lo = 0.0, hi = 1e6;
-        int it = 0;
-        while (it < 24 && 0.5 * hi > t) { hi *= 0.5; ++it; }  // provably-false probes
-        for (; it < 24; ++it) {
-          const double mid = 0.5 * (lo + hi);
-          const long py = std::lrint(i + SIN[k] * mid);
-          const long px = std::lrint(j + COS[k] * mid);
-          if (py >= 0 && py < H && px >= 0 && px < W && inst[py * W + px] == id)
-            lo = mid;
-          else
-            hi = mid;
-        }
-        if (hi > maxd) maxd = hi;
-        if (lo < mind) mind = lo;
+
+  // exact bisection of one pixel (identical arithmetic to the original
+  // raster loop, incl. the analytic replay of provably-false probes)
+  auto eval_pixel = [&](int i, int j, int32_t id) -> double {
+    const double t = T[id];
+    double maxd = 0.0, mind = 1e7;
+    for (int k = 0; k < 8; ++k) {
+      double lo = 0.0, hi = 1e6;
+      int it = 0;
+      while (it < 24 && 0.5 * hi > t) { hi *= 0.5; ++it; }
+      for (; it < 24; ++it) {
+        const double mid = 0.5 * (lo + hi);
+        const long py = std::lrint(i + SIN[k] * mid);
+        const long px = std::lrint(j + COS[k] * mid);
+        if (py >= 0 && py < H && px >= 0 && px < W && inst[py * W + px] == id)
+          lo = mid;
+        else
+          hi = mid;
       }
-      const double c = mind / maxd;
-      if (c > best[id]) { best[id] = c; out_yx[2 * id] = i; out_yx[2 * id + 1] = j; }
+      if (hi > maxd) maxd = hi;
+      if (lo < mind) mind = lo;
     }
+    return mind / maxd;
+  };
+
+  // Candidate pruning per id (bit-identical argmax): a SOUND upper bound
+  // on a pixel's centerness skips pixels that provably cannot beat the
+  // best so far. For an axis ray, the bisection's final lo is <= the
+  // distance to the FARTHEST same-id pixel along that row/col direction
+  // + 0.5 (rint slack), and its final hi is >= the CONTIGUOUS same-id run
+  // - 0.5 (probes inside the run cannot fail). So
+  //   centerness = min_8(lo) / max_8(hi)
+  //             <= (min_axis F + 0.5) / max(max_axis R - 0.5, eps).
+  // The max-UB pixel is evaluated first (usually the true center), then a
+  // raster scan keeps exact first-in-raster tie semantics via (c, idx).
+  std::vector<int> crop, F_l, F_r, F_u, F_d, R_l, R_r, R_u, R_d;
+  std::vector<double> ub;
+  for (int32_t id = 1; id <= n_ids; ++id) {
+    if (y1[id] < 0) continue;
+    const int ys = y0[id], xs = x0[id];
+    const int h = y1[id] - ys + 1, w = x1[id] - xs + 1;
+    const size_t m = (size_t)h * w;
+    auto scan = [&](std::vector<int>& F, std::vector<int>& R, int dy, int dx) {
+      F.assign(m, -1); R.assign(m, -1);
+      // iterate so that the neighbour in (dy,dx) is already done
+      const int yb = dy > 0 ? h - 1 : 0, ye = dy > 0 ? -1 : h, ystep = dy > 0 ? -1 : 1;
+      const int xb = dx > 0 ? w - 1 : 0, xe = dx > 0 ? -1 : w, xstep = dx > 0 ? -1 : 1;
+      for (int y = yb; y != ye; y += ystep)
+        for (int x = xb; x != xe; x += xstep) {
+          const bool in = inst[(y + ys) * W + (x + xs)] == id;
+          const int ny = y + dy, nx = x + dx;
+          const bool nb_ok = ny >= 0 && ny < h && nx >= 0 && nx < w;
+          const int nF = nb_ok ? F[(size_t)ny * w + nx] : -1;
+          const int nR = nb_ok ? R[(size_t)ny * w + nx] : -1;
+          // F: offset of the farthest id pixel in this direction (from here)
+          F[(size_t)y * w + x] = nF >= 0 ? nF + 1 : (in ? 0 : -1);
+          // R: contiguous id run length in this direction (valid on id px)
+          R[(size_t)y * w + x] = in ? (nR >= 0 ? nR + 1 : 0) : -1;
+        }
+      // F must be "farthest id at-or-after": fix non-id gaps feeding F
+      // (handled above: nF>=0 propagates through gaps; on id px with no
+      // farther id, F=0 = itself)
+    };
+    scan(F_r, R_r, 0, 1);
+    scan(F_l, R_l, 0, -1);
+    scan(F_d, R_d, 1, 0);
+    scan(F_u, R_u, -1, 0);
+    ub.assign(m, -1.0);
+    double ub_max = -1.0;
+    long seed = -1;
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        const size_t q = (size_t)y * w + x;
+        if (inst[(y + ys) * W + (x + xs)] != id) continue;
+        const int Fm = std::min(std::min(F_l[q], F_r[q]), std::min(F_u[q], F_d[q]));
+        const int Rm = std::max(std::max(R_l[q], R_r[q]), std::max(R_u[q], R_d[q]));
+        const double u = ((double)Fm + 0.5) / std::max((double)Rm - 0.5, 1e-9);
+        ub[q] = u * (1.0 + 1e-12) + 1e-12;  // absorb fp rounding of the bound
+        if (ub[q] > ub_max) { ub_max = ub[q]; seed = q; }
+      }
+    if (seed >= 0) {  // evaluate the most promising pixel first
+      const int sy = (int)(seed / w), sx = (int)(seed % w);
+      const double c = eval_pixel(sy + ys, sx + xs, id);
+      best[id] = c;
+      best_idx[id] = (long)(sy + ys) * W + (sx + xs);
+      out_yx[2 * id] = sy + ys;
+      out_yx[2 * id + 1] = sx + xs;
+    }
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        const size_t q = (size_t)y * w + x;
+        if (ub[q] < best[id]) continue;  // cannot beat (nor tie) the best
+        if (inst[(y + ys) * W + (x + xs)] != id) continue;
+        const long gidx = (long)(y + ys) * W + (x + xs);
+        if (gidx == best_idx[id]) continue;  // the seed, already exact
+        const double c = eval_pixel(y + ys, x + xs, id);
+        if (c > best[id] || (c == best[id] && gidx < best_idx[id])) {
+          best[id] = c;
+          best_idx[id] = gidx;
+          out_yx[2 * id] = y + ys;
+          out_yx[2 * id + 1] = x + xs;
+        }
+      }
+  }
 }
 
 }  // namespace
+
+// (n_ids+1, 4) rows (y0, y1, x0, x1) per id, y1 = -1 where absent — the
+// one-pass twin of ops/label_maps.py instance_boxes' unique+find_objects.
+void instance_bboxes(const int32_t* inst, int H, int W, int32_t n_ids, int32_t* out) {
+  std::vector<int> y0, y1, x0, x1;
+  id_bboxes(inst, H, W, n_ids, y0, y1, x0, x1);
+  for (int32_t id = 0; id <= n_ids; ++id) {
+    out[4 * id] = y0[id];
+    out[4 * id + 1] = y1[id];
+    out[4 * id + 2] = x0[id];
+    out[4 * id + 3] = x1[id];
+  }
+}
 
 void all_centerpoints(const int32_t* inst, int H, int W, int32_t n_ids, int32_t* out_yx) {
   std::vector<int> y0, y1, x0, x1;
