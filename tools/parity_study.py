@@ -307,6 +307,9 @@ def run_jax(model, seed, steps, hw, n_train, train_items, val_items, order, swap
     variables = {'params': params, 'batch_stats': batch_stats}
 
     def eval_with(v):
+        v = jax.device_put(v)  # once — swapped-in torch trees are host numpy,
+        # and re-uploading the full tree per patch call turns the protocol
+        # eval into a transfer benchmark over the TPU tunnel
         fwd = jax.jit(lambda vv, im: seg.forward_heads(vv, im)['sem'])
 
         def calc(patch):
