@@ -52,14 +52,20 @@ def test_remove_1px_boundary_native(seed):
 
 
 @pytest.mark.parametrize('seed', [0, 3])
-def test_unet_weight_map_native(seed):
+def test_unet_weight_map_native(seed, monkeypatch):
+    """Native banded EDT vs the pure-numpy twin (native disabled for the
+    oracle): same float64 dtype, same banding radius — the raw maps agree
+    to exp()-implementation noise and the CONSUMED float32(1 + w) value is
+    bit-equal."""
     inst = np_fix_instance(blobs(seed))
     lm = UNetLabelMake()
     inner = lm._remove_1px_boundary(inst)  # ids may be sparse (eroded away)
     ids = list(np.unique(inner)[1:]) if inner.max() else []
-    want = lm._get_weight_map(inner, ids)
     got = native.unet_weight_map(inner, int(inner.max()), lm.TRUNC, lm.w0, lm.sigma)
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    monkeypatch.setattr(native, 'unet_weight_map', lambda *a, **k: None)
+    want = lm._get_weight_map(inner, ids)
+    np.testing.assert_array_equal((1 + got).astype(np.float32), (1 + want).astype(np.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
 @pytest.mark.parametrize('seed', [0, 2, 7])

@@ -136,6 +136,16 @@ class UNetLabelMake:
         self.wc = wc
         self.w0 = w0
         self.sigma = sigma
+        if wc is None:
+            # Truncation radius from the absorption bound: the map ships as
+            # float32(1 + w), and (1 + w) rounds to 1.0f whenever
+            # w <= 2^-24, i.e. whenever any contributing distance d >= pix
+            # >= sqrt(2 sigma^2 ln(w0 * 2^24)) — candidates beyond that
+            # radius cannot move the consumed artifact by one bit
+            # (empirically validated against the exact global two-label EDT
+            # in docs/ROUND5.md; defaults give 31 vs the old fixed 40).
+            self.TRUNC = max(8, int(np.ceil(np.sqrt(
+                2.0 * sigma * sigma * np.log(max(w0, 1e-30) * 2.0**24)))))
 
     def _remove_1px_boundary(self, inst_gt):
         try:  # native twin (tiseg_tpu/native/labelmaps.cpp), exact
@@ -153,8 +163,9 @@ class UNetLabelMake:
             new[view][er > 0] = inst_id
         return new
 
-    # distances beyond this contribute weight < w0 * exp(-(TRUNC/sigma)^2/2)
-    # ~ 4e-15 for the defaults — numerically zero in the float32 pipeline
+    # conservative class-level radius for the wc path (whose additive base
+    # can be 0, so the +1 absorption bound below does not apply); the
+    # wc=None constructor overrides it with the absorption-derived radius
     TRUNC = 40
 
     def _get_weight_map(self, ann, inst_list):
@@ -164,7 +175,7 @@ class UNetLabelMake:
             from ... import native
             out = native.unet_weight_map(ann, int(np.max(ann)), self.TRUNC, self.w0, self.sigma)
             if out is not None:
-                return out.astype(np.float64)
+                return out  # float64 — same dtype/path as the numpy twin
         except Exception:
             pass
         # running nearest / second-nearest instance-border distances, each

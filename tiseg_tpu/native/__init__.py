@@ -102,8 +102,10 @@ def _load_lm():
     lib.fix_instance.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p]
     lib.fix_instance.restype = ctypes.c_int32
     lib.remove_1px_boundary.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, c_i32p]
+    c_f64p = ctypes.POINTER(ctypes.c_double)
     lib.unet_weight_map.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
-                                    ctypes.c_int, ctypes.c_float, ctypes.c_float, c_f32p]
+                                    ctypes.c_int, ctypes.c_float, ctypes.c_float, c_f64p]
+    lib.unet_weight_map_global.argtypes = lib.unet_weight_map.argtypes
     lib.bound_map.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                               ctypes.POINTER(ctypes.c_uint8)]
     lib.all_centerpoints.argtypes = [c_i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int32, c_i32p]
@@ -155,9 +157,27 @@ def unet_weight_map(ann: np.ndarray, n_ids: int, trunc: int, w0: float, sigma: f
         return None
     ann = _i32(ann)
     h, w = ann.shape
-    out = np.zeros((h, w), np.float32)
+    out = np.zeros((h, w), np.float64)
     lib.unet_weight_map(ann.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, n_ids, trunc,
-                        w0, sigma, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+                        w0, sigma, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def unet_weight_map_global(ann: np.ndarray, n_ids: int, trunc: int, w0: float, sigma: float):
+    """Exact GLOBAL two-distinct-label EDT variant (no per-instance bands):
+    O(HW) column pass + per-row per-label envelopes. Kept as the oracle the
+    banded production kernel's truncation is validated against — measured
+    1.8x SLOWER than the banded kernel at MoNuSeg density (docs/ROUND5.md),
+    so it is not the default."""
+    lib = _load_lm()
+    if lib is None:
+        return None
+    ann = _i32(ann)
+    h, w = ann.shape
+    out = np.zeros((h, w), np.float64)
+    lib.unet_weight_map_global(ann.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, n_ids,
+                               trunc, w0, sigma,
+                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
 
 

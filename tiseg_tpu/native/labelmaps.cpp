@@ -170,10 +170,10 @@ void remove_1px_boundary(const int32_t* inst, int H, int W, int32_t* out) {
 // --------------------------------------------------------------------------
 // UNet eq.(2) weight map over a DENSE-labeled map (ids 1..n_ids).
 void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
-                     float w0, float sigma, float* out) {
+                     float w0, float sigma, double* out) {
   const double BIG = 1e9;
   const int n = H * W;
-  if (n_ids <= 1) { std::memset(out, 0, sizeof(float) * n); return; }
+  if (n_ids <= 1) { std::memset(out, 0, sizeof(double) * n); return; }
   // near1/near2 hold SQUARED distances until the final pass (sentinel BIG^2)
   std::vector<double> near1(n, BIG * BIG), near2(n, BIG * BIG);
   std::vector<int> y0, y1, x0, x1;
@@ -188,25 +188,26 @@ void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
     // columns outside the instance's x-range hold no instance pixel: their
     // vertical distance is the BIG^2 sentinel without scanning
     const int fx0 = x0[id] - xs, fx1 = x1[id] - xs;
+    const int bw = fx1 - fx0 + 1;  // only instance columns ever hold sites
     // binary column stage: two integer scans give the exact squared
     // vertical distance to the instance per column — the same integers the
     // general parabola pass (edt1d on 0 / BIG^2) produces, at a fraction of
     // the cost (no divisions)
-    dcol.assign((size_t)h * w, BIG * BIG);
-    dv.assign((size_t)h * w, 1 << 28);
-    for (int x = fx0; x <= fx1; ++x) {
+    dcol.assign((size_t)h * bw, BIG * BIG);
+    dv.assign((size_t)h * bw, 1 << 28);
+    for (int x = 0; x < bw; ++x) {
       int last = -(1 << 28);
       for (int y = 0; y < h; ++y) {
-        if (ann[(y + ys) * W + (x + xs)] == id) last = y;
-        dv[(size_t)y * w + x] = y - last;
+        if (ann[(y + ys) * W + (x + fx0 + xs)] == id) last = y;
+        dv[(size_t)y * bw + x] = y - last;
       }
       int next = 1 << 28;
       for (int y = h - 1; y >= 0; --y) {
-        if (ann[(y + ys) * W + (x + xs)] == id) next = y;
-        dv[(size_t)y * w + x] = std::min(dv[(size_t)y * w + x], next - y);
+        if (ann[(y + ys) * W + (x + fx0 + xs)] == id) next = y;
+        dv[(size_t)y * bw + x] = std::min(dv[(size_t)y * bw + x], next - y);
       }
       for (int y = 0; y < h; ++y) {
-        const size_t i = (size_t)y * w + x;
+        const size_t i = (size_t)y * bw + x;
         if (dv[i] < h) dcol[i] = (double)dv[i] * dv[i];
       }
     }
@@ -214,7 +215,7 @@ void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
     drow.resize(m); vbuf.resize(m); zbuf.resize(m + 1);
     std::vector<double> row(w), dr(w);
     for (int y = 0; y < h; ++y) {          // then rows: parabola sites only
-      for (int x = fx0; x <= fx1; ++x) row[x] = dcol[(size_t)y * w + x];
+      for (int x = fx0; x <= fx1; ++x) row[x] = dcol[(size_t)y * bw + (x - fx0)];
       edt1d_band(row.data(), w, fx0, fx1, dr.data(), vbuf.data(), zbuf.data());
       // merge on SQUARED distances: IEEE sqrt is monotone, so the
       // (near1, near2) selection is value-identical to merging on the
@@ -240,12 +241,179 @@ void unet_weight_map(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
   // (bit-identical to the computed-then-cast value).
   const double acut = std::log(1e-46 / (std::abs((double)w0) + 1e-300));
   for (int i = 0; i < n; ++i) {
-    if (ann[i] > 0) { out[i] = 0.f; continue; }
+    if (ann[i] > 0) { out[i] = 0.0; continue; }
     double pix = (near2[i] >= BIG2) ? BIG
                                     : (std::sqrt(near1[i]) + std::sqrt(near2[i]));
     pix = std::min(pix, cap);
     const double a = -pix * pix * inv;
-    out[i] = (a < acut) ? 0.f : (float)(w0 * std::exp(a));
+    out[i] = (a < acut) ? 0.0 : (w0 * std::exp(a));
+  }
+}
+
+// --------------------------------------------------------------------------
+// Exact GLOBAL two-distinct-label EDT weight map in O(HW) + per-row label
+// envelopes (VERDICT r4 item 2 — replaces the per-instance banded EDTs of
+// unet_weight_map when instance count is high).
+//
+// Decomposition proof sketch (details in docs/ROUND5.md):
+//  * column pass: per (y, x) keep the two vertically-nearest sites with
+//    DISTINCT labels, (g1, l1), (g2, l2). The two-distinct set of a union
+//    is computable from the operands' two-distinct sets (the overall min
+//    is one of the two mins; the nearest-with-other-label is either the
+//    operand's own second or the other operand's first/second), so the
+//    up/down prefix scans are exact.
+//  * d1 (nearest any instance): standard Felzenszwalb row envelope over
+//    f(c) = g1(c)^2; the winning column's l1 is the nearest label L1.
+//    When the minimum is achieved by several labels, any winner works:
+//    d2 = d1 in every choice (a distinct-label site sits at distance d1).
+//  * d2 (nearest label != L1): for a query with nearest label L, the best
+//    candidate in column c is the vertically-nearest site with label != L
+//    = g1(c) if l1(c) != L else g2(c). One envelope per DISTINCT L in the
+//    row (nearest-label maps are piecewise constant, so the count is the
+//    handful of Voronoi cells the row crosses), queried only at that L's
+//    pixels.
+// d1^2/d2^2 are exact integers in double (same values the banded kernel
+// derives), so the final weight formula below is bit-identical wherever
+// the banded kernel's truncation did not fire; truncation differences are
+// provably absorbed by the downstream float32(1 + w) cast (pix > trunc
+// implies w < w0*exp(-(trunc/sigma)^2/2) ~ 1.3e-13 << f32 eps at 1.0 —
+// tests/test_native_labelmaps.py pins exactly that consumed value).
+void unet_weight_map_global(const int32_t* ann, int H, int W, int32_t n_ids, int trunc,
+                            float w0, float sigma, double* out) {
+  const double BIG = 1e9;
+  const double BIG2 = BIG * BIG;
+  const int n = H * W;
+  if (n_ids <= 1) { std::memset(out, 0, sizeof(double) * n); return; }
+  const double cap = 4.0 * trunc;
+  const double cap2 = cap * cap;
+  const int NO = 1 << 20;  // farther than any in-image distance
+  std::vector<int32_t> D1(n), L1c(n), D2(n), L2c(n);
+  // ---- column pass (down + up prefix scans, merged in the up scan)
+  for (int x = 0; x < W; ++x) {
+    int d1 = NO, l1 = 0, d2 = NO, l2 = 0;
+    for (int y = 0; y < H; ++y) {  // down: nearest at-or-above
+      if (d1 < NO) ++d1;
+      if (d2 < NO) ++d2;
+      const int32_t s = ann[y * W + x];
+      if (s > 0) {
+        if (s == l1) d1 = 0;
+        else { d2 = d1; l2 = l1; d1 = 0; l1 = s; }
+      }
+      const int i = y * W + x;
+      D1[i] = d1; L1c[i] = l1; D2[i] = d2; L2c[i] = l2;
+    }
+    d1 = NO; l1 = 0; d2 = NO; l2 = 0;
+    for (int y = H - 1; y >= 0; --y) {  // up: nearest at-or-below, merged in
+      if (d1 < NO) ++d1;
+      if (d2 < NO) ++d2;
+      const int i = y * W + x;
+      const int32_t s = ann[i];
+      if (s > 0) {
+        if (s == l1) d1 = 0;
+        else { d2 = d1; l2 = l1; d1 = 0; l1 = s; }
+      }
+      // merge the down-stored pair with the up pair (self counted twice —
+      // harmless: a duplicate candidate never changes a two-distinct min)
+      const int ad = D1[i], al = L1c[i], bd = D2[i], bl = L2c[i];
+      int r1d, r1l, r2d, r2l;
+      if (ad <= d1) {
+        r1d = ad; r1l = al;
+        const int od = (l1 != al) ? d1 : d2, ol = (l1 != al) ? l1 : l2;
+        if (bd <= od) { r2d = bd; r2l = bl; } else { r2d = od; r2l = ol; }
+      } else {
+        r1d = d1; r1l = l1;
+        const int od = (al != l1) ? ad : bd, ol = (al != l1) ? al : bl;
+        if (d2 <= od) { r2d = d2; r2l = l2; } else { r2d = od; r2l = ol; }
+      }
+      D1[i] = r1d; L1c[i] = r1l; D2[i] = r2d; L2c[i] = r2l;
+    }
+  }
+  // ---- row passes
+  std::vector<double> d1sq(W), d2sq(W);
+  std::vector<int32_t> Lw(W);
+  std::vector<double> fbuf(W);
+  std::vector<int> vsite(W);
+  std::vector<double> zbuf(W + 1);
+  std::vector<int32_t> stamp(n_ids + 1, -1);
+  std::vector<int32_t> uniq;
+  for (int y = 0; y < H; ++y) {
+    const int32_t* D1r = &D1[(size_t)y * W];
+    const int32_t* L1r = &L1c[(size_t)y * W];
+    const int32_t* D2r = &D2[(size_t)y * W];
+    // pass A: d1 + winning label
+    int k = -1;
+    for (int c = 0; c < W; ++c) {
+      if (D1r[c] >= NO) { fbuf[c] = BIG2; continue; }
+      fbuf[c] = (double)D1r[c] * D1r[c];
+      if (k < 0) { k = 0; vsite[0] = c; zbuf[0] = -std::numeric_limits<double>::infinity(); zbuf[1] = std::numeric_limits<double>::infinity(); continue; }
+      double s;
+      while (true) {
+        const int vc = vsite[k];
+        s = ((fbuf[c] + (double)c * c) - (fbuf[vc] + (double)vc * vc)) / (2.0 * c - 2.0 * vc);
+        if (s <= zbuf[k]) { --k; if (k < 0) break; } else break;
+      }
+      ++k; vsite[k] = c; zbuf[k] = (k == 0) ? -std::numeric_limits<double>::infinity() : s;
+      zbuf[k + 1] = std::numeric_limits<double>::infinity();
+    }
+    if (k < 0) {  // empty row: no sites anywhere in any column
+      for (int q = 0; q < W; ++q) { d1sq[q] = BIG2; d2sq[q] = BIG2; Lw[q] = 0; }
+    } else {
+      int kk = 0;
+      for (int q = 0; q < W; ++q) {
+        while (zbuf[kk + 1] < q) ++kk;
+        const int vc = vsite[kk];
+        const double dq = q - (double)vc;
+        d1sq[q] = dq * dq + fbuf[vc];
+        Lw[q] = L1r[vc];
+        d2sq[q] = BIG2;
+      }
+      // pass B: per distinct winning label in this row
+      uniq.clear();
+      for (int q = 0; q < W; ++q)
+        if (d1sq[q] < cap2 && Lw[q] > 0 && stamp[Lw[q]] != y) { stamp[Lw[q]] = y; uniq.push_back(Lw[q]); }
+      for (const int32_t L : uniq) {
+        int kb = -1;
+        for (int c = 0; c < W; ++c) {
+          double f;
+          if (D1r[c] >= NO) f = BIG2;
+          else if (L1r[c] != L) f = (double)D1r[c] * D1r[c];
+          else if (D2r[c] < NO) f = (double)D2r[c] * D2r[c];
+          else f = BIG2;
+          if (f >= BIG2) { fbuf[c] = BIG2; continue; }
+          fbuf[c] = f;
+          if (kb < 0) { kb = 0; vsite[0] = c; zbuf[0] = -std::numeric_limits<double>::infinity(); zbuf[1] = std::numeric_limits<double>::infinity(); continue; }
+          double s;
+          while (true) {
+            const int vc = vsite[kb];
+            s = ((fbuf[c] + (double)c * c) - (fbuf[vc] + (double)vc * vc)) / (2.0 * c - 2.0 * vc);
+            if (s <= zbuf[kb]) { --kb; if (kb < 0) break; } else break;
+          }
+          ++kb; vsite[kb] = c; zbuf[kb] = (kb == 0) ? -std::numeric_limits<double>::infinity() : s;
+          zbuf[kb + 1] = std::numeric_limits<double>::infinity();
+        }
+        if (kb < 0) continue;
+        int kq = 0;
+        for (int q = 0; q < W; ++q) {
+          if (Lw[q] != L || d1sq[q] >= cap2) continue;
+          while (zbuf[kq + 1] < q) ++kq;
+          const int vc = vsite[kq];
+          const double dq = q - (double)vc;
+          d2sq[q] = dq * dq + fbuf[vc];
+        }
+      }
+    }
+    // ---- emit this row (identical final formula to unet_weight_map)
+    const double inv = 1.0 / (2.0 * sigma * sigma);
+    const double acut = std::log(1e-46 / (std::abs((double)w0) + 1e-300));
+    double* orow = &out[(size_t)y * W];
+    const int32_t* arow = &ann[(size_t)y * W];
+    for (int q = 0; q < W; ++q) {
+      if (arow[q] > 0) { orow[q] = 0.0; continue; }
+      double pix = (d2sq[q] >= BIG2) ? BIG : (std::sqrt(d1sq[q]) + std::sqrt(d2sq[q]));
+      pix = std::min(pix, cap);
+      const double a = -pix * pix * inv;
+      orow[q] = (a < acut) ? 0.0 : (w0 * std::exp(a));
+    }
   }
 }
 
@@ -454,6 +622,8 @@ void dlm_point_maps(const int32_t* inst, int H, int W, int32_t n_ids, int ksize,
   std::vector<float> df;
   std::vector<double> f, col, dc, row, dr, zbuf;
   std::vector<int> vbuf;
+  std::vector<double> gyb, gxb;
+  std::vector<int> rx0, rx1;
   const int PAD = 6;
   for (int32_t id = 1; id <= n_ids; ++id) {
     if (y1[id] < 0) continue;
@@ -529,30 +699,51 @@ void dlm_point_maps(const int32_t* inst, int H, int W, int32_t n_ids, int ksize,
       for (int x = 0; x < w; ++x)
         if (inst[(y + ys) * W + (x + xs)] == id)
           dist_out[(y + ys) * W + (x + xs)] = (float)d[(size_t)y * w + x];
-    // gradient on the f32-cast crop, zero-padded at crop borders
+    // gradient on the f32-cast crop, zero-padded at crop borders.
+    // Span-restricted tap-OUTER accumulation: per crop row only the
+    // [rx0, rx1] instance-pixel span accumulates (contiguous inner loop —
+    // auto-vectorizable); per-pixel tap set, tap order (j, i ascending,
+    // center tap included) and double arithmetic are IDENTICAL to the
+    // per-pixel loop this replaces, so results are bit-equal
+    // (tests/test_native_labelmaps.py + the in-repo A/B in docs/ROUND5.md).
     df.resize((size_t)h * w);
     for (size_t i = 0; i < df.size(); ++i) df[i] = (float)d[i];
+    gyb.assign((size_t)h * w, 0.0);
+    gxb.assign((size_t)h * w, 0.0);
+    rx0.assign(h, w);
+    rx1.assign(h, -1);
     for (int y = 0; y < h; ++y)
-      for (int x = 0; x < w; ++x) {
-        if (inst[(y + ys) * W + (x + xs)] != id) continue;
-        double gy = 0.0, gx = 0.0;
-        const int jlo = std::max(0, c - y), jhi = std::min(ksize, h + c - y);
-        const int ilo = std::max(0, c - x), ihi = std::min(ksize, w + c - x);
-        for (int j = jlo; j < jhi; ++j) {
-          // base of the kernel row inside df, offset applied per-tap so no
-          // out-of-bounds pointer is ever formed (x - c can be negative)
-          const float* drow = &df[(size_t)(y + j - c) * w];
-          const float* kyr = &ky[(size_t)j * ksize];
-          const float* kxr = &kx[(size_t)j * ksize];
-          for (int i = ilo; i < ihi; ++i) {
-            const double v = (double)drow[x - c + i];
-            gy += (double)kyr[i] * v;
-            gx += (double)kxr[i] * v;
+      for (int x = 0; x < w; ++x)
+        if (inst[(y + ys) * W + (x + xs)] == id) {
+          if (x < rx0[y]) rx0[y] = x;
+          if (x > rx1[y]) rx1[y] = x;
+        }
+    for (int j = 0; j < ksize; ++j)
+      for (int i = 0; i < ksize; ++i) {
+        const double kyv = ky[(size_t)j * ksize + i];
+        const double kxv = kx[(size_t)j * ksize + i];
+        const int dy = j - c, dx = i - c;
+        const int ylo = std::max(0, -dy), yhi = std::min(h, h - dy);
+        for (int y = ylo; y < yhi; ++y) {
+          if (rx1[y] < 0) continue;
+          const int a = std::max(rx0[y], -dx), b = std::min(rx1[y], w - 1 - dx);
+          if (a > b) continue;
+          const float* src = &df[(size_t)(y + dy) * w];  // x + dx stays in [0, w)
+          double* gyr = &gyb[(size_t)y * w];
+          double* gxr = &gxb[(size_t)y * w];
+          for (int x = a; x <= b; ++x) {
+            const double v = (double)src[x + dx];
+            gyr[x] += kyv * v;
+            gxr[x] += kxv * v;
           }
         }
-        grad_out[2 * ((y + ys) * W + (x + xs))] = (float)gy;
-        grad_out[2 * ((y + ys) * W + (x + xs)) + 1] = (float)gx;
       }
+    for (int y = 0; y < h; ++y)
+      for (int x = rx0[y]; x <= rx1[y]; ++x)
+        if (inst[(y + ys) * W + (x + xs)] == id) {
+          grad_out[2 * ((y + ys) * W + (x + xs))] = (float)gyb[(size_t)y * w + x];
+          grad_out[2 * ((y + ys) * W + (x + xs)) + 1] = (float)gxb[(size_t)y * w + x];
+        }
   }
 }
 
