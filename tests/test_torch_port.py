@@ -131,14 +131,33 @@ def test_resnet50_port_feature_parity_vs_torchvision_arch():
         assert err < 2e-4 * max(float(np.abs(ww).max()), 1.0), f'layer{i + 1}: {err}'
 
 
+def _randomize_bn(tv, seed=0):
+    """Non-trivial BN affine/running stats (the default init's mean=0/var=1
+    would make a stats-mapping bug invisible)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in tv.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.rand(m.weight.shape, generator=g) * 0.5 + 0.75)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.2)
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.05)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) * 0.3 + 0.85)
+
+
 def test_pretrained_dir_discovery_end_to_end(tmp_path, monkeypatch):
-    """$TISEG_PRETRAINED_DIR is the documented local weight drop: a
-    vgg16_bn*.pth placed there must be found and loaded by
-    maybe_load_pretrained (README 'pretrained weights' recipe)."""
+    """The FULL pretrained chain on a seeded synthetic torchvision
+    checkpoint (VERDICT r4 item 5): a vgg16_bn*.pth placed in
+    $TISEG_PRETRAINED_DIR must be discovered, torch.load'ed and imported by
+    maybe_load_pretrained, and the resulting Flax backbone must reproduce
+    every torch pyramid level — leaving the real checkpoint's BYTES as the
+    only untested artifact (this environment cannot download them)."""
+    import jax.numpy as jnp
     from reference_compat import _vgg16_bn
     from tiseg_tpu.models.backbones.torch_port import maybe_load_pretrained
 
     tv = _vgg16_bn()
+    tv.eval()
+    _randomize_bn(tv)
     torch.save(tv.state_dict(), tmp_path / 'vgg16_bn-local.pth')
     monkeypatch.setenv('TISEG_PRETRAINED_DIR', str(tmp_path))
 
@@ -148,6 +167,24 @@ def test_pretrained_dir_discovery_end_to_end(tmp_path, monkeypatch):
     want = tv.state_dict()['features.0.weight'].numpy().transpose(2, 3, 1, 0)
     np.testing.assert_array_equal(
         np.asarray(new['params']['backbone']['stage0_conv0']['Conv_0']['kernel']), want)
+
+    # per-stage feature parity through the imported tree
+    from tiseg_tpu.models.backbones.vgg import VGG16BN
+    bb = VGG16BN()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    got = bb.apply({'params': new['params']['backbone'],
+                    'batch_stats': new['batch_stats']['backbone']}, jnp.asarray(x), train=False)
+    taps = (5, 12, 22, 32, 42, 43)
+    feats, t = [], torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        for i, mod in enumerate(tv.features):
+            t = mod(t)
+            if i in taps:
+                feats.append(t.numpy().transpose(0, 2, 3, 1))
+    for i, (gg, ww) in enumerate(zip(got, feats)):
+        err = float(np.abs(np.asarray(gg) - ww).max())
+        assert err < 2e-4 * max(float(np.abs(ww).max()), 1.0), f'stage {i}: {err}'
 
 
 def test_real_imagenet_weights_if_cached():
