@@ -247,25 +247,31 @@ def train_briefly(seg, variables, typ='UNet', hw=256, steps=60, n_imgs=16, lr=1e
     return {'params': params, 'batch_stats': batch_stats}
 
 
-def _int8_accuracy_gate(seg, variables, tol_pts=0.5, n=16, seed0=200):
-    """Instance-level accuracy of the shipped fused program, bf16 vs int8,
-    on HELD-OUT images (seeds disjoint from the calibration and throughput
-    batches — seed0=200 vs 0..15). Scores each path's device `inst_pred`
-    against the synthetic GT with the host AJI reducer. Returns (ok, detail):
-    ok means int8 costs <= tol_pts Aji (x100) vs bf16 on this workload."""
+def _heldout_aji(seg, variables, int8: bool, n=16, seed0=200):
+    """Binary AJI (x100) of the shipped fused program on HELD-OUT images
+    (seeds disjoint from the calibration and throughput batches —
+    seed0=200 vs 0..15): device `inst_pred` scored against the synthetic
+    GT with the host AJI reducer."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from tiseg_tpu.utils.metrics.inst_metrics import pre_eval_bin_aji, pre_eval_to_bin_aji
     data = [make_bench_nuclei(seed0 + i) for i in range(n)]
     img = jnp.asarray(np.stack([d[0] for d in data]))
-    detail = {}
-    for name, flag in (('bf16', False), ('int8', True)):
-        seg.test_cfg['int8_eval'] = flag
-        inst = np.asarray(jax.jit(
-            lambda v, im: seg.inference_and_postprocess(v, im)['inst_pred'])(variables, img))
-        ajis = [pre_eval_bin_aji(inst[i].astype(np.int32), data[i][2]) for i in range(n)]
-        detail[name + '_aji'] = round(float(pre_eval_to_bin_aji(ajis)['Aji']) * 100, 3)
+    prev = seg.test_cfg.get('int8_eval', False)
+    seg.test_cfg['int8_eval'] = int8
+    inst = np.asarray(jax.jit(
+        lambda v, im: seg.inference_and_postprocess(v, im)['inst_pred'])(variables, img))
+    seg.test_cfg['int8_eval'] = prev
+    ajis = [pre_eval_bin_aji(inst[i].astype(np.int32), data[i][2]) for i in range(n)]
+    return round(float(pre_eval_to_bin_aji(ajis)['Aji']) * 100, 3)
+
+
+def _int8_accuracy_gate(seg, variables, tol_pts=0.5, n=16, seed0=200):
+    """bf16 vs int8 of the same model on the held-out workload. Returns
+    (ok, detail): ok means int8 costs <= tol_pts Aji (x100) vs bf16."""
+    detail = {'bf16_aji': _heldout_aji(seg, variables, False, n, seed0),
+              'int8_aji': _heldout_aji(seg, variables, True, n, seed0)}
     ok = detail['int8_aji'] >= detail['bf16_aji'] - tol_pts
     return ok, detail
 
@@ -280,12 +286,48 @@ def _unflatten_keys(d):
     return unflatten_dict({tuple(k.split('/')): v for k, v in d.items()})
 
 
+def _round_f16(variables):
+    """Round params through the f16 storage dtype (gate what ships)."""
+    import jax
+    import numpy as np
+    params = jax.tree.map(lambda x: np.asarray(x).astype(np.float16).astype(np.float32),
+                          jax.device_get(variables['params']))
+    batch_stats = jax.device_get(variables['batch_stats'])
+    return {'params': jax.device_put(params), 'batch_stats': jax.device_put(batch_stats)}
+
+
+def _fixture_arrays(variables, fpq, prefix=''):
+    import jax
+    import numpy as np
+    arrays = {}
+    arrays.update({k: np.asarray(v).astype(np.float16)
+                   for k, v in _flatten_tree(jax.device_get(variables['params']),
+                                             prefix + 'p').items()})
+    arrays.update({k: np.asarray(v)
+                   for k, v in _flatten_tree(jax.device_get(variables['batch_stats']),
+                                             prefix + 'bs').items()})
+    fpq = jax.device_get(fpq)
+    arrays.update({f'{prefix}act/{k}': np.asarray(v, np.float32) for k, v in fpq['act'].items()})
+    for k, (q, s) in fpq['wq'].items():
+        arrays[f'{prefix}wq/{k}'] = np.asarray(q)
+        arrays[f'{prefix}ws/{k}'] = np.asarray(s, np.float32)
+    return arrays
+
+
 def save_bench_fixture(path=FIXTURE_PATH):
-    """Build and save the headline-bench fixture: train the flagship UNet
-    briefly on the synthetic-nuclei workload, round the weights through the
-    f16 storage format, calibrate the int8 tree and run the held-out
-    accuracy gate ON THE ROUNDED WEIGHTS (so the shipped bytes are exactly
-    what was gated), then save params/batch_stats/int8 tree/gate verdict."""
+    """Build and save the headline-bench fixture.
+
+    Both the standard UNet and the UNet-S2D performance variant are trained
+    briefly on the synthetic-nuclei workload and gated on held-out crops,
+    but only the VARIANT'S weights + int8 tree ship in the fixture (the
+    standard model's role is the accuracy reference, whose held-out Aji is
+    recorded in the meta — storing its ~50 MB of weights too doubled the
+    fixture for a fallback the gates never picked; VERDICT r4 item 7 size
+    diet). `python bench.py` re-scores the s2d bf16/int8 gate LIVE and
+    additionally sanity-checks the live bf16 score against the recorded
+    one, so neither an int8 nor a bf16 executor regression can ride a
+    stale verdict. Escape hatches: BENCH_S2D=0 / BENCH_FIXTURE=0 fall back
+    to the legacy train-in-place standard-UNet path."""
     import jax
     import numpy as np
 
@@ -295,59 +337,66 @@ def save_bench_fixture(path=FIXTURE_PATH):
     seg = build_segmentor(dict(type='UNet', num_classes=2, train_cfg=dict(), test_cfg=test_cfg),
                           dtype=jnp.bfloat16)
     variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
-    variables = train_briefly(seg, variables)
-    # round params through the f16 storage dtype BEFORE gating
-    params = jax.tree.map(lambda x: np.asarray(x).astype(np.float16).astype(np.float32),
-                          jax.device_get(variables['params']))
-    batch_stats = jax.device_get(variables['batch_stats'])
-    variables = {'params': jax.device_put(params), 'batch_stats': jax.device_put(batch_stats)}
+    variables = _round_f16(train_briefly(seg, variables))
+    std_bf16_aji = _heldout_aji(seg, variables, False)
 
     B = int(os.environ.get('BENCH_BATCH', 128))
     uniq = np.stack([make_bench_nuclei(i)[0] for i in range(16)])
     img_r = jnp.asarray(np.tile(uniq, (max(B // 16, 1), 1, 1, 1))[:B])
-    fpq = seg.calibrate_int8(variables, img_r)
-    int8_ok, gate = _int8_accuracy_gate(seg, variables)
-    seg.test_cfg['int8_eval'] = False
 
-    arrays = {}
-    arrays.update({k: np.asarray(v).astype(np.float16)
-                   for k, v in _flatten_tree(params, 'p').items()})
-    arrays.update({k: np.asarray(v) for k, v in _flatten_tree(batch_stats, 'bs').items()})
-    fpq = jax.device_get(fpq)
-    arrays.update({f'act/{k}': np.asarray(v, np.float32) for k, v in fpq['act'].items()})
-    for k, (q, s) in fpq['wq'].items():
-        arrays[f'wq/{k}'] = np.asarray(q)
-        arrays[f'ws/{k}'] = np.asarray(s, np.float32)
-    meta = {'version': 1, 'model': 'UNet', 'int8_selected': bool(int8_ok), 'gate': gate}
-    np.savez(path, __meta__=json.dumps(meta), **arrays)
+    # the numerics-changing s2d-stem variant: trained from scratch on the
+    # same schedule/data, admitted only within the gate tolerance of the
+    # standard bf16 model on the held-out workload
+    seg2 = build_segmentor(dict(type='UNetS2D', num_classes=2, train_cfg=dict(),
+                                test_cfg=dict(test_cfg)), dtype=jnp.bfloat16)
+    v2 = seg2.init_variables(jax.random.PRNGKey(1), hw=(256, 256))
+    v2 = _round_f16(train_briefly(seg2, v2))
+    fpq2 = seg2.calibrate_int8(v2, img_r)
+    tol = 0.5
+    s2d_gate = {'std_bf16_aji': std_bf16_aji,
+                's2d_bf16_aji': _heldout_aji(seg2, v2, False),
+                's2d_int8_aji': _heldout_aji(seg2, v2, True)}
+    s2d_gate['int8_selected'] = s2d_gate['s2d_int8_aji'] >= std_bf16_aji - tol
+    s2d_gate['bf16_selected'] = s2d_gate['s2d_bf16_aji'] >= std_bf16_aji - tol
+
+    arrays = _fixture_arrays(v2, fpq2, prefix='s2d_')
+    meta = {'version': 3, 'model': 'UNetS2D', 's2d': s2d_gate}
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
     print(json.dumps({'fixture': path, 'bytes': os.path.getsize(path), **meta}),
           file=sys.stderr, flush=True)
     return path
 
 
-def load_bench_fixture(path=FIXTURE_PATH):
-    """Load the committed bench fixture -> (variables, fpq, meta dict).
-    Arrays go to device in one put per tree; params are f16-on-disk,
-    f32 in memory (the exact values the fixture's gate scored)."""
+def _load_tree(z, prefix):
     import jax
+    import numpy as np
+    p, bs, act, wq, ws = {}, {}, {}, {}, {}
+    routes = {prefix + 'p/': p, prefix + 'bs/': bs, prefix + 'act/': act,
+              prefix + 'wq/': wq, prefix + 'ws/': ws}
+    for k in z.files:
+        for pre, d in routes.items():
+            if k.startswith(pre):
+                v = z[k]
+                d[k[len(pre):]] = v.astype(np.float32) if d is p and v.dtype == np.float16 else v
+                break
+    if not p:
+        return None, None
+    variables = jax.device_put({'params': _unflatten_keys(p), 'batch_stats': _unflatten_keys(bs)})
+    fpq = jax.device_put({'act': act, 'wq': {k: (wq[k], ws[k]) for k in wq}})
+    return variables, fpq
+
+
+def load_bench_fixture(path=FIXTURE_PATH):
+    """Load the committed bench fixture -> (variables, fpq, meta dict,
+    s2d_variables, s2d_fpq — None on v1 fixtures). Arrays go to device in
+    one put per tree; params are f16-on-disk, f32 in memory (the exact
+    values the fixture's gates scored)."""
     import numpy as np
     z = np.load(path, allow_pickle=False)
     meta = json.loads(str(z['__meta__']))
-    p, bs, act, wq, ws = {}, {}, {}, {}, {}
-    for k in z.files:
-        if k.startswith('p/'):
-            p[k[2:]] = z[k].astype(np.float32)
-        elif k.startswith('bs/'):
-            bs[k[3:]] = z[k]
-        elif k.startswith('act/'):
-            act[k[4:]] = z[k]
-        elif k.startswith('wq/'):
-            wq[k[3:]] = z[k]
-        elif k.startswith('ws/'):
-            ws[k[3:]] = z[k]
-    variables = jax.device_put({'params': _unflatten_keys(p), 'batch_stats': _unflatten_keys(bs)})
-    fpq = jax.device_put({'act': act, 'wq': {k: (wq[k], ws[k]) for k in wq}})
-    return variables, fpq, meta
+    variables, fpq = _load_tree(z, '')
+    s2d_v, s2d_fpq = _load_tree(z, 's2d_')
+    return variables, fpq, meta, s2d_v, s2d_fpq
 
 
 def main():
@@ -356,6 +405,12 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from tiseg_tpu.models import build_segmentor
+
+    t_start = time.time()
+
+    def _stage(name):
+        print(json.dumps({'stage': name, 't': round(time.time() - t_start, 1)}),
+              file=sys.stderr, flush=True)
 
     # shipped post-proc defaults (pp_sweeps 16 / pp_fill_sweeps 32: exact on
     # all 16 trained-net planes vs the host oracle, and only -0.6% vs the
@@ -377,21 +432,70 @@ def main():
     ITERS = int(os.environ.get('BENCH_ITERS', 16))
     include_postproc = os.environ.get('BENCH_POSTPROC', '1') == '1'
 
+    s2d_selected = False
+    live_gate = None
     use_fixture = (os.environ.get('BENCH_FIXTURE', '1') == '1' and os.path.exists(FIXTURE_PATH))
     if use_fixture:
-        # fast driver path: load committed weights + int8 tree + recorded
-        # gate verdict; ONE fused-program compile stands between here and
-        # the metric line
-        variables, fpq, meta = load_bench_fixture()
-        seg._int8_fpq = fpq
-        if int8_mode == '0':
-            int8_e2e = False
-        elif int8_mode != '1':
-            int8_e2e = bool(meta['int8_selected'])
-            print(json.dumps({'int8_gate_pass': int8_e2e, 'fixture': True, **meta['gate']}),
-                  file=sys.stderr, flush=True)
+        # driver path: load the committed s2d weights + int8 tree, then
+        # re-score the accuracy gate LIVE on held-out crops (VERDICT r4
+        # item 7 — a post-fixture executor regression can no longer ride a
+        # stale recorded verdict). The live bf16 score is also anchored
+        # against BOTH recorded references (the standard model's bf16 Aji
+        # and the variant's own fixture-time bf16 Aji).
+        variables, fpq, meta, s2d_v, s2d_fpq = load_bench_fixture()
+        _stage('fixture_loaded')
+        rec = meta.get('s2d') or {}
+        if s2d_v is not None and os.environ.get('BENCH_S2D', '1') != '0':
+            seg = build_segmentor(dict(type='UNetS2D', num_classes=2, train_cfg=dict(),
+                                       test_cfg=dict(test_cfg)), dtype=jnp.bfloat16)
+            seg._int8_fpq = s2d_fpq
+            variables = s2d_v
+            s2d_selected = True
+            if int8_mode in ('0', '1'):
+                int8_e2e = int8_mode == '1'
+            else:
+                # pre-select from the RECORDED verdict; the LIVE re-score
+                # runs AFTER the first measurement (so the watchdog always
+                # has a number) and triggers a fallback re-measure on a flip
+                int8_e2e = bool(rec.get('int8_selected'))
+
+                def live_gate():
+                    tol = 0.5
+                    live_bf16 = _heldout_aji(seg, variables, False)
+                    _stage('live_gate_bf16')
+                    live_int8 = _heldout_aji(seg, variables, True)
+                    _stage('live_gate_int8')
+                    anchor = rec.get('std_bf16_aji', live_bf16)
+                    bf16_ok = (live_bf16 >= anchor - tol
+                               and live_bf16 >= rec.get('s2d_bf16_aji', live_bf16) - 1.0)
+                    int8_ok = bool(bf16_ok and live_int8 >= live_bf16 - tol
+                                   and live_int8 >= anchor - tol)
+                    print(json.dumps({'live_gate': {'s2d_bf16_aji': live_bf16,
+                                                    's2d_int8_aji': live_int8,
+                                                    'recorded': rec},
+                                      'bf16_anchor_ok': bf16_ok,
+                                      'int8_gate_pass': int8_ok, 'fixture': True}),
+                          file=sys.stderr, flush=True)
+                    return bf16_ok, int8_ok
+        elif variables is not None:  # legacy v1/v2 fixture: standard UNet
+            seg._int8_fpq = fpq
+            if int8_mode in ('0', '1'):
+                int8_e2e = int8_mode == '1'
+            else:
+                int8_e2e = bool(meta.get('int8_selected'))
+
+                def live_gate():
+                    ref_aji = _heldout_aji(seg, variables, False)
+                    live_int8 = _heldout_aji(seg, variables, True)
+                    int8_ok = bool(live_int8 >= ref_aji - 0.5)
+                    print(json.dumps({'live_gate': {'bf16_aji': ref_aji, 'int8_aji': live_int8},
+                                      'int8_gate_pass': int8_ok, 'fixture': True}),
+                          file=sys.stderr, flush=True)
+                    return True, int8_ok
+        else:
+            use_fixture = False
         seg.test_cfg['int8_eval'] = int8_e2e
-    else:
+    if not use_fixture:
         variables = seg.init_variables(jax.random.PRNGKey(0), hw=(256, 256))
         variables = train_briefly(seg, variables)
 
@@ -425,13 +529,11 @@ def main():
         lat.append(time.perf_counter() - t0)
     rpc_latency = sorted(lat)[len(lat) // 2]
 
-    metric = (('unet_256x256_fused_e2e_throughput' if include_postproc
-               else 'unet_256x256_infer_throughput') + ('_int8' if int8_e2e else ''))
-
-    def _measure(chain, *args):
+    def _measure(chain, metric, *args):
         """Compile + 3 timed reps; every rep updates the watchdog's
         best-so-far so a deadline mid-run still emits a real number."""
         float(chain(*args))  # compile
+        _stage('timed_program_compiled')
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
@@ -444,33 +546,58 @@ def main():
                           'vs_baseline': round(rate / BASELINE_PATCHES_PER_SEC, 3)})
         return B * ITERS / max(best - rpc_latency, 1e-9)
 
-    if include_postproc:
-        # ---- fused single-program e2e: inference + device post-proc in ONE
-        # jit (the artifact users actually run), on the representative
-        # workload (dense nuclei through the briefly-trained net). On this
-        # workload the fused program reaches the two-stage composition rate
-        # (2,468 vs 2,464 composed, v5e-1 B=128) — docs/ROUND3.md
-        # "headline reconciliation".
-        def _fused_chain(variables, im):
-            def body(i, carry):
-                out = seg.inference_and_postprocess(variables, im + carry * 1e-12)
-                return jnp.float32(jnp.max(out['inst_pred']))
+    def run_measurement():
+        metric = (('unet_256x256_fused_e2e_throughput' if include_postproc
+                   else 'unet_256x256_infer_throughput')
+                  + ('_int8' if int8_e2e else '') + ('_s2d' if s2d_selected else ''))
+        if include_postproc:
+            # fused single-program e2e: inference + device post-proc in ONE
+            # jit (the artifact users actually run). On this workload the
+            # fused program reaches the two-stage composition rate (2,468 vs
+            # 2,464 composed, v5e-1 B=128) — docs/ROUND3.md.
+            def _fused_chain(variables, im):
+                def body(i, carry):
+                    out = seg.inference_and_postprocess(variables, im + carry * 1e-12)
+                    return jnp.float32(jnp.max(out['inst_pred']))
 
-            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+                return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
-        total_rate = _measure(jit_tuned(_fused_chain, variables, img_r), variables, img_r)
-    else:
-        # network forward + argmax only (chained, immune to pipelining)
-        def _net_chain(variables, img):
-            prep = seg.prepare_inference(variables)  # fold weights once, outside the loop
+            rate = _measure(jit_tuned(_fused_chain, variables, img_r), metric, variables, img_r)
+        else:
+            # network forward + argmax only (chained, immune to pipelining)
+            def _net_chain(variables, img):
+                prep = seg.prepare_inference(variables)  # fold weights once
 
-            def body(i, carry):
-                logits = seg.forward_heads(variables, img + carry * 1e-12, prep=prep)['sem']
-                return jnp.mean(jnp.argmax(logits, axis=-1).astype(jnp.float32))
+                def body(i, carry):
+                    logits = seg.forward_heads(variables, img + carry * 1e-12, prep=prep)['sem']
+                    return jnp.mean(jnp.argmax(logits, axis=-1).astype(jnp.float32))
 
-            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+                return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
-        total_rate = _measure(jit_tuned(_net_chain, variables, img_r), variables, img_r)
+            rate = _measure(jit_tuned(_net_chain, variables, img_r), metric, variables, img_r)
+        return metric, rate
+
+    metric, total_rate = run_measurement()
+
+    # ---- LIVE gate re-score (VERDICT r4 item 7), AFTER the first
+    # measurement so the watchdog always holds a real number; a verdict
+    # flip discards it and re-measures the fallback path.
+    if live_gate is not None and int8_mode not in ('0', '1'):
+        bf16_ok, int8_ok = live_gate()
+        if int8_e2e != int8_ok:
+            print(json.dumps({'live_gate_flip': True, 'remeasuring': 'bf16' if int8_e2e else 'int8'}),
+                  file=sys.stderr, flush=True)
+            _BEST.clear()
+            int8_e2e = int8_ok
+            seg.test_cfg['int8_eval'] = int8_e2e
+            metric, total_rate = run_measurement()
+        if not bf16_ok:
+            # the variant's own bf16 executor regressed vs its recorded
+            # fixture score: refuse to report the variant at all
+            print(json.dumps({'s2d_live_anchor_failed': True, 'no_metric': True}),
+                  file=sys.stderr, flush=True)
+            _BEST.clear()
+            sys.exit(5)
 
     print(json.dumps({
         'metric': metric,
