@@ -151,8 +151,9 @@ class EpochBasedRunner:
                                  f'Epoch [{epoch + 1}] iter [{it + 1}] | {msg}')
                 record = {'mode': 'train', 'epoch': epoch + 1, 'iter': it + 1, 'lr': lr, 'time': dt}
                 record.update(avg)
-                self.jsonl.log(record)
-                self._tb_log(record, int(self.state.step), 'train')
+                if jax.process_index() == 0:  # master-only .log.json analog
+                    self.jsonl.log(record)
+                    self._tb_log(record, int(self.state.step), 'train')
                 buf.clear()
 
     def evaluate(self, epoch: int):

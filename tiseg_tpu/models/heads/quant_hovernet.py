@@ -225,7 +225,8 @@ def calibrate(fp, img, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
 
 
 def quantize_params(fp, act_maxes: Dict[str, Any], margin: float = 1.0,
-                    float_branches: Tuple[str, ...] = ('hv',)):
+                    float_branches: Tuple[str, ...] = ('hv',),
+                    float_site_prefixes: Tuple[str, ...] = ()):
     """``float_branches`` stay ENTIRELY on the bf16 path: the hv branch
     regresses CONTINUOUS per-pixel offsets whose sobel/watershed consumers
     are sensitive to 8-bit resolution — measured on a converged model
@@ -246,6 +247,12 @@ def quantize_params(fp, act_maxes: Dict[str, Any], margin: float = 1.0,
             if blk['down'] is not None:
                 wq[f'{pre}d'] = _wquant(blk['down'][0])
     wq['bot'] = _wquant(fp['conv_bot'])
+    if float_site_prefixes:
+        # partial-trunk probe (VERDICT r4 item 10): sites matching a prefix
+        # run the float path (executors branch on wq presence); e.g.
+        # ('stem', 'l0', 'l1') keeps only the stride>=8 trunk stages int8.
+        wq = {k: v for k, v in wq.items()
+              if not any(k.startswith(p) for p in float_site_prefixes)}
     for nm in _BRANCHES:
         br = fp['branches'][nm]
         if nm in float_branches:
@@ -406,6 +413,11 @@ def apply_hovernet_q8(fp, fpq, img, dtype=jnp.bfloat16):
     """Fully-resident int8 forward: trunk activations stay int8 between convs
     (_run_backbone_q8) AND the decoder dense-concat tensors stay int8 with
     per-channel scale vectors (_run_branch_q8); u0_cls runs int8 too."""
+    if 'stem' not in fpq['wq']:
+        # partial-trunk quantization (float_site_prefixes): the resident
+        # trunk assumes every site is int8 — fall back to the sited
+        # (per-conv float/int8) executor for the whole net
+        return apply_hovernet_q(fp, fpq, img, dtype=dtype)
     feats = _run_backbone_q8(fp, fpq, img)
     # d3 -> conv_bot: quantize once from the f32 stage output (its only consumer)
     yb = _conv_i8(_req(feats[3], 'bot', fpq), fpq['wq']['bot'][0])

@@ -122,11 +122,14 @@ class HoverNet(BaseSegmentor):
                                         dtype=self.net.dtype),
                 'int8': self._int8_fpq}
 
-    def calibrate_int8(self, variables, calib_img):
+    def calibrate_int8(self, variables, calib_img, float_branches=('hv',),
+                       float_site_prefixes=()):
         """One-batch abs-max calibration + weight quantization for the int8
         eval path (same contract as UNet/CDNet.calibrate_int8). Runs as ONE
         jit program with the variables as arguments — see
-        UNet.calibrate_int8 for why."""
+        UNet.calibrate_int8 for why. ``float_site_prefixes`` keeps matching
+        conv sites on the float path (the partial-trunk probe,
+        tools/int8_gate_study.py --float-prefixes)."""
         import jax
 
         from ..heads.quant_hovernet import build_hovernet_fp, calibrate, quantize_params
@@ -134,7 +137,9 @@ class HoverNet(BaseSegmentor):
 
         def _calib(v, im):
             fp = build_hovernet_fp(v['params'], v['batch_stats'], dtype=dtype)
-            return quantize_params(fp, calibrate(fp, im, dtype=dtype))
+            return quantize_params(fp, calibrate(fp, im, dtype=dtype),
+                                   float_branches=tuple(float_branches),
+                                   float_site_prefixes=tuple(float_site_prefixes))
 
         self._int8_fpq = jax.jit(_calib)(variables, calib_img)
         return self._int8_fpq

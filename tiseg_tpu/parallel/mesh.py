@@ -36,13 +36,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch, axis: str = 'data'):
     """Device-put a host batch pytree with the batch dim sharded over the
-    mesh; metas (non-array leaves) pass through untouched."""
+    mesh; metas (non-array leaves) pass through untouched. Multi-process:
+    each process's loader supplies its LOCAL share of the global batch, so
+    arrays assemble via ``make_array_from_process_local_data`` (a plain
+    sharded device_put would demand the full global batch per process —
+    caught by the real 2-process run in tests/test_distributed.py)."""
     ds = data_sharding(mesh, axis)
+    multi = jax.process_count() > 1
 
     def _put(x):
-        if isinstance(x, np.ndarray):
-            return jax.device_put(x, ds)
-        return x
+        if not isinstance(x, np.ndarray):
+            return x
+        if multi:
+            return jax.make_array_from_process_local_data(ds, x)
+        return jax.device_put(x, ds)
 
     return jax.tree_util.tree_map(_put, batch)
 

@@ -35,6 +35,10 @@ def main():
     ap.add_argument('--n-val', type=int, default=16)
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--calib', type=int, default=16)
+    ap.add_argument('--float-prefixes', default='',
+                    help="HoverNet only: comma-separated conv-site prefixes kept on the "
+                         "float path, e.g. 'stem,l0,l1' = stride>=8-only int8 "
+                         "(the trunk-noise probe, VERDICT r4 item 10)")
     ap.add_argument('--out', default=osp.join(ROOT, 'docs', 'int8_gate_runs.jsonl'))
     args = ap.parse_args()
 
@@ -91,7 +95,11 @@ def main():
     # center crops from the test set); score on ALL val images — the gate
     # question is int8-vs-bf16 at converged weights, same protocol both ways
     calib = jnp.asarray(np.stack([val_items[i]['img'] for i in range(min(args.calib, args.n_val))]))
-    seg.calibrate_int8(variables, calib)
+    if args.float_prefixes and args.model == 'HoverNet':
+        seg.calibrate_int8(variables, calib,
+                           float_site_prefixes=tuple(args.float_prefixes.split(',')))
+    else:
+        seg.calibrate_int8(variables, calib)
     imgs = jnp.asarray(np.stack([it['img'] for it in val_items]))
 
     from tiseg_tpu.models.segmentors.unet import instance_postprocess
@@ -119,6 +127,7 @@ def main():
         print(mode, results[mode], flush=True)
     row = {'model': args.model, 'steps': args.steps, 'seed': args.seed, 'hw': args.hw,
            'calib': int(min(args.calib, args.n_val)),
+           **({'float_prefixes': args.float_prefixes} if args.float_prefixes else {}),
            'bf16': results['bf16'], 'int8': results['int8'],
            'delta_aji_pts': round(results['int8']['Aji'] - results['bf16']['Aji'], 3),
            'delta_pq_pts': round(results['int8']['PQ'] - results['bf16']['PQ'], 3)}
