@@ -100,10 +100,12 @@ def test_oscd_real_format(tmp_path):
 
 @pytest.mark.slow
 def test_monuseg_convert_train_eval_e2e(tmp_path):
-    """Real-format XML tile -> converter -> MoNuSegDataset -> 5 train
-    steps -> evaluate (VERDICT item 9 'Done' criterion)."""
+    """Real-format XML tile -> converter (with the reference's reflect-pad
+    window cropping, w32/s16 on the 96^2 tile -> 25 patches) ->
+    MoNuSegDataset -> 5 train steps -> evaluate (VERDICT item 9 'Done'
+    criterion)."""
     root = _copy('monuseg', tmp_path)
-    _run('monuseg.py', root, 'official', '--nproc', 1)
+    _run('monuseg.py', root, 'official', '-w', 32, '-s', 16, '--nproc', 1)
 
     from tiseg_tpu.apis import single_device_test, train_segmentor
     from tiseg_tpu.datasets import build_dataset
@@ -116,8 +118,8 @@ def test_monuseg_convert_train_eval_e2e(tmp_path):
         dict(type='Formatting', data_keys=['img'],
              label_keys=['sem_gt', 'sem_gt_inner', 'loss_weight_map']),
     ]
-    ds_cfg = dict(type='MoNuSegDataset', data_root=root, img_dir='train/w0_s0',
-                  ann_dir='train/w0_s0', split='official_train_w0_s0.txt', processes=processes)
+    ds_cfg = dict(type='MoNuSegDataset', data_root=root, img_dir='train/w32_s16',
+                  ann_dir='train/w32_s16', split='official_train_w32_s16.txt', processes=processes)
     val_cfg = dict(ds_cfg, processes=[dict(type='Normalize'),
                                       dict(type='Formatting', data_keys=['img'], label_keys=[])])
     cfg = Config.fromdict(dict(

@@ -53,6 +53,11 @@ def train_segmentor(segmentor, datasets, cfg, distributed: bool = False, validat
                               dist=world_size > 1, shuffle=True, seed=seed,
                               world_size=world_size, rank=rank, drop_last=True)
 
+    if len(loader) == 0:
+        raise ValueError(
+            f'empty train loader: dataset has {len(train_dataset)} items but the '
+            f'global batch is {local_batch * world_size} with drop_last — an '
+            f'EpochBased/IterBased runner would spin forever on zero batches')
     iters_per_epoch = max(len(loader), 1)
     runner_cfg = dict(cfg.get('runner', {'type': 'EpochBasedRunner', 'max_epochs': 1}))
     if runner_cfg.get('type', 'EpochBasedRunner') == 'EpochBasedRunner':
