@@ -63,3 +63,39 @@ def test_unet_learns_blobs():
     gt_inst = cc_label(sem[0] > 0)
     aji = binary_aggregated_jaccard_index(pred['inst_pred'], gt_inst)
     assert aji > 0.5, aji
+
+
+@pytest.mark.slow
+def test_unet_s2d_learns_blobs():
+    """The s2d-stem performance variant must train exactly like UNet (same
+    labels/losses) — catches stem/d2s wiring mistakes the executor-parity
+    tests cannot (they run at fixed weights)."""
+    seg = build_segmentor(dict(type='UNetS2D', num_classes=2, train_cfg=dict(),
+                               test_cfg=dict(mode='whole', radius=1)))
+    variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
+    schedule = build_lr_schedule(dict(policy='fixed', warmup=None), 3e-4, 1, 100)
+    tx = build_optimizer(dict(type='Adam', lr=3e-4, weight_decay=1e-5), schedule)
+    state = TrainState.create(variables['params'], variables['batch_stats'], tx)
+    step = make_train_step(seg, mesh=None)
+
+    rng = np.random.default_rng(0)
+    first_dice = None
+    logs = {}
+    for it in range(40):
+        imgs, sem = make_batch(rng)
+        batch = {'data': {'img': jnp.asarray(imgs)},
+                 'label': {'sem_gt_inner': jnp.asarray(sem), 'loss_weight_map': jnp.ones(sem.shape)}}
+        state, logs = step(state, batch)
+        if first_dice is None:
+            first_dice = float(logs['sem_tdice'])
+    final_dice = float(logs['sem_tdice'])
+    assert final_dice > max(first_dice + 10, 60), (first_dice, final_dice)
+
+    imgs, sem = make_batch(np.random.default_rng(99))
+    fused = jax.jit(seg.inference)({'params': state.params, 'batch_stats': state.batch_stats},
+                                   jnp.asarray(imgs[:1]))
+    pred = seg.postprocess({k: np.asarray(v[0]) for k, v in fused.items()})
+    from tiseg_tpu.utils.morphology import label as cc_label
+    gt_inst = cc_label(sem[0] > 0)
+    aji = binary_aggregated_jaccard_index(pred['inst_pred'], gt_inst)
+    assert aji > 0.5, aji
