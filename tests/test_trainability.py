@@ -73,15 +73,18 @@ def test_unet_s2d_learns_blobs():
     seg = build_segmentor(dict(type='UNetS2D', num_classes=2, train_cfg=dict(),
                                test_cfg=dict(mode='whole', radius=1)))
     variables = seg.init_variables(jax.random.PRNGKey(0), hw=(64, 64))
-    schedule = build_lr_schedule(dict(policy='fixed', warmup=None), 3e-4, 1, 100)
-    tx = build_optimizer(dict(type='Adam', lr=3e-4, weight_decay=1e-5), schedule)
+    # the variant's 4K-channel d2s head warms up slower than UNet's at
+    # 3e-4/40 steps; the bench-fixture schedule (1e-3, 60 steps) is the
+    # regime it ships under
+    schedule = build_lr_schedule(dict(policy='fixed', warmup=None), 1e-3, 1, 100)
+    tx = build_optimizer(dict(type='Adam', lr=1e-3, weight_decay=1e-5), schedule)
     state = TrainState.create(variables['params'], variables['batch_stats'], tx)
     step = make_train_step(seg, mesh=None)
 
     rng = np.random.default_rng(0)
     first_dice = None
     logs = {}
-    for it in range(40):
+    for it in range(60):
         imgs, sem = make_batch(rng)
         batch = {'data': {'img': jnp.asarray(imgs)},
                  'label': {'sem_gt_inner': jnp.asarray(sem), 'loss_weight_map': jnp.ones(sem.shape)}}
