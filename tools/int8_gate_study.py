@@ -70,11 +70,11 @@ def main():
     opt_state = tx.init(params)
 
     @jax.jit
-    def step_fn(params, batch_stats, opt_state, img, label):
+    def step_fn(params, batch_stats, opt_state, img, label, step):
         def loss_fn(p):
             batch = {'data': {'img': img}, 'label': label}
             total, (logs, new_state) = seg.loss({'params': p, 'batch_stats': batch_stats}, batch,
-                                                rng=jax.random.PRNGKey(0))
+                                                rng=jax.random.fold_in(jax.random.PRNGKey(0), step))
             return total, new_state['batch_stats']
 
         (total, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -86,7 +86,8 @@ def main():
         idx = order[s]
         img = jnp.asarray(np.stack([train_items[i]['img'] for i in idx]))
         label = {k: jnp.asarray(v) for k, v in jax_label_batch(args.model, train_items, idx).items()}
-        params, batch_stats, opt_state, total = step_fn(params, batch_stats, opt_state, img, label)
+        params, batch_stats, opt_state, total = step_fn(params, batch_stats, opt_state, img, label,
+                                                        jnp.int32(s))
         if s % 200 == 0:
             print(f'[{args.model}] step {s}: loss {float(total):.4f} ({time.time() - t0:.0f}s)', flush=True)
     variables = {'params': params, 'batch_stats': batch_stats}
